@@ -1,0 +1,159 @@
+"""Public API: the full Gaussian DCA pipeline.
+
+``gdca(filename, **kwargs)`` mirrors the reference entry point
+``gDCA`` (/root/reference/src/GaussDCA.jl:8-47): FASTA -> (dedup) ->
+reweighting -> weighted frequencies -> pseudocount -> covariance ->
+Cholesky inverse -> FN or DI scores -> APC -> min-separation ranking.
+
+Structure (TPU-first): host does ingest/dedup and the final sort; one
+jitted program does everything in between, so XLA fuses the statistical
+stages around the two hot spots (the all-pairs identity matmul and the
+dense SPD inverse).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussdca_tpu.core.config import GDCAConfig
+from gaussdca_tpu.io import fasta
+from gaussdca_tpu.score.apc import correct_apc
+from gaussdca_tpu.score.di import di_score
+from gaussdca_tpu.score.frob import frob_score
+from gaussdca_tpu.score.rank import Ranking, compute_ranking, printrank
+from gaussdca_tpu.solve.cholesky import spd_inverse
+from gaussdca_tpu.stats.frequencies import weighted_frequencies
+from gaussdca_tpu.stats.pseudocount import add_pseudocount, compute_C
+from gaussdca_tpu.stats import reweight
+
+MAX_Q = 31  # the reference's 5-bit packing limit (src/GaussDCA.jl:26)
+
+
+@dataclasses.dataclass
+class GDCAResult:
+    """Ranking plus the observability handles the reference never exposes."""
+
+    ranking: Ranking
+    M: int
+    N: int
+    q: int
+    theta: float
+    meff: float
+    n_dropped_gaps: int
+    n_dropped_dups: int
+
+    def __iter__(self):
+        return iter(self.ranking)
+
+    def __len__(self):
+        return len(self.ranking)
+
+    def __getitem__(self, k):
+        return self.ranking[k]
+
+
+def _resolve_kernels(cfg: GDCAConfig):
+    """Pick Pallas kernels or the pure-jnp fallback implementations."""
+    if cfg.resolve_fallback():
+        return {"match_counts_fn": None}
+    try:
+        from gaussdca_tpu.ops import dispatch
+        return dispatch.kernels()
+    except ImportError:
+        return {"match_counts_fn": None}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("q", "score", "theta_is_auto", "dtype_name",
+                     "use_pallas"))
+def _scores_jit(Z, pc, theta_value, *, q: int, score: str,
+                theta_is_auto: bool, dtype_name: str, use_pallas: bool):
+    """Device pipeline: tokens -> APC-corrected score matrix (+ theta, Meff)."""
+    dtype = jnp.dtype(dtype_name)
+    match_fn = None
+    if use_pallas:
+        from gaussdca_tpu.ops import dispatch
+        match_fn = dispatch.kernels().get("match_counts_fn")
+    theta: Union[str, Any] = "auto" if theta_is_auto else theta_value
+    W, Meff, th = reweight.compute_weights(
+        Z, theta, dtype=dtype, match_counts_fn=match_fn)
+    Pi_t, Pij_t, Meff = weighted_frequencies(Z, W, q, dtype=dtype)
+    Pi, Pij = add_pseudocount(Pi_t, Pij_t, pc, q)
+    C = compute_C(Pi, Pij)
+    mJ = spd_inverse(C)
+    if score == "DI":
+        S = di_score(mJ, C, q)
+    else:
+        S = frob_score(mJ, q)
+    S = correct_apc(S)
+    return S, th, Meff
+
+
+def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig) -> GDCAResult:
+    """Run the device pipeline + ranking on an already-ingested MSA."""
+    if cfg.remove_dups:
+        msa = fasta.remove_duplicate_sequences(msa)
+    q = msa.q
+    if q >= MAX_Q + 1:
+        raise ValueError(f"parameter q={q} is too big (max {MAX_Q} is allowed)")
+
+    dtype = cfg.resolve_dtype()
+    Z = jnp.asarray(msa.tokens)
+    theta_is_auto = cfg.auto_theta
+    theta_value = 0.0 if theta_is_auto else float(cfg.theta)
+    S, th, meff = _scores_jit(
+        Z,
+        jnp.asarray(float(cfg.pseudocount), dtype),
+        jnp.asarray(theta_value, dtype),
+        q=q,
+        score=cfg.score,
+        theta_is_auto=theta_is_auto,
+        dtype_name=dtype.name,
+        use_pallas=not cfg.resolve_fallback(),
+    )
+    R = compute_ranking(np.asarray(S), cfg.min_separation)
+    return GDCAResult(
+        ranking=R, M=msa.M, N=msa.N, q=q,
+        theta=float(th), meff=float(meff),
+        n_dropped_gaps=msa.n_dropped_gaps,
+        n_dropped_dups=msa.n_dropped_dups,
+    )
+
+
+def gdca(
+    filename: str,
+    *,
+    pseudocount: float = 0.8,
+    theta: Union[str, float] = "auto",
+    max_gap_fraction: float = 0.9,
+    score: str = "frob",
+    min_separation: int = 5,
+    remove_dups: bool = False,
+    dtype: Optional[Any] = None,
+    force_fallback: bool = False,
+) -> GDCAResult:
+    """Contact-prediction ranking of an MSA file.
+
+    Same signature, defaults, and validation as the reference ``gDCA``
+    (src/GaussDCA.jl:8-15; ``theta`` spelled out since Python identifiers
+    can't be Greek). Returns a GDCAResult — an iterable of 1-based
+    (i, j, score) triples sorted by descending score, plus run metadata.
+    """
+    cfg = GDCAConfig(
+        pseudocount=pseudocount, theta=theta,
+        max_gap_fraction=max_gap_fraction, score=score,
+        min_separation=min_separation, remove_dups=remove_dups,
+        dtype=dtype, force_fallback=force_fallback,
+    )
+    msa = fasta.read_fasta_alignment(filename, cfg.max_gap_fraction)
+    return gdca_from_msa(msa, cfg)
+
+
+__all__ = ["gdca", "gdca_from_msa", "printrank", "GDCAConfig", "GDCAResult"]

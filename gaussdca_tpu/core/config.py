@@ -1,0 +1,116 @@
+"""Configuration for the Gaussian DCA pipeline.
+
+Mirrors the reference's keyword arguments, defaults, and validation semantics
+(``/root/reference/src/GaussDCA.jl:8-15`` for defaults, ``:49-65`` for
+``check_arguments``), plus TPU-specific knobs (dtype, fallback, mesh) that the
+reference — a single-process CPU package — has no analog for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Optional, Union
+
+Theta = Union[str, float, int]
+
+_VALID_SCORES = ("frob", "DI")
+
+
+def _is_real(x: Any) -> bool:
+    return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+
+@dataclasses.dataclass(frozen=True)
+class GDCAConfig:
+    """Frozen pipeline configuration.
+
+    Reference-parity fields (same names, defaults, and validation as
+    ``gDCA``'s keyword arguments, src/GaussDCA.jl:9-15):
+
+    - ``pseudocount``: shrinkage toward uniform, in [0, 1]. Default 0.8
+      (recommended for :frob; 0.2 recommended for :DI).
+    - ``theta``: similarity threshold for reweighting; "auto" or a real
+      in [0, 1]. Default "auto".
+    - ``max_gap_fraction``: sequences with a larger fraction of gaps are
+      dropped at ingest. Default 0.9.
+    - ``score``: "frob" (APC-corrected Frobenius norm) or "DI"
+      (Gaussian Direct Information). Default "frob".
+    - ``min_separation``: minimum |i-j| for ranked pairs, >= 1. Default 5.
+    - ``remove_dups``: drop duplicate sequences after ingest. Default False.
+
+    TPU-native additions:
+
+    - ``dtype``: compute dtype for the statistical pipeline. ``None``
+      selects float64 when JAX x64 is enabled (golden/CPU mode), else
+      float32 (TPU mode).
+    - ``force_fallback``: use the pure-jnp reference implementations of
+      every kernel instead of the Pallas/TPU-optimized paths. Analog of the
+      reference's ``DCAUTILS_FORCE_FALLBACK`` env switch
+      (test/runtests.jl:79); also honored via the ``GDCA_FORCE_FALLBACK``
+      environment variable.
+    - ``precision``: jax.lax matmul precision for the MXU paths.
+    """
+
+    pseudocount: float = 0.8
+    theta: Theta = "auto"
+    max_gap_fraction: float = 0.9
+    score: str = "frob"
+    min_separation: int = 5
+    remove_dups: bool = False
+
+    dtype: Optional[Any] = None
+    force_fallback: bool = False
+    precision: str = "highest"
+
+    def __post_init__(self) -> None:
+        self.validate()
+
+    def validate(self) -> None:
+        """Raise ValueError on invalid settings.
+
+        Same checks and bounds as ``check_arguments``
+        (src/GaussDCA.jl:49-65); file existence is checked at ingest.
+        """
+        pc = self.pseudocount
+        if not (_is_real(pc) and 0 <= pc <= 1):
+            raise ValueError(
+                f"invalid pseudocount value: {pc} (must be between 0 and 1)")
+        th = self.theta
+        theta_ok = (th == "auto") or (_is_real(th) and 0 <= th <= 1)
+        if not theta_ok:
+            raise ValueError(
+                f"invalid theta value: {th} "
+                "(must be either 'auto', or a number between 0 and 1)")
+        mgf = self.max_gap_fraction
+        if not (_is_real(mgf) and 0 <= mgf <= 1):
+            raise ValueError(
+                f"invalid max_gap_fraction value: {mgf} "
+                "(must be between 0 and 1)")
+        if self.score not in _VALID_SCORES:
+            raise ValueError(
+                f"invalid score value: {self.score} "
+                "(must be either 'DI' or 'frob')")
+        if not (isinstance(self.min_separation, int)
+                and self.min_separation >= 1):
+            raise ValueError(
+                f"invalid min_separation value: {self.min_separation} "
+                "(must be >= 1)")
+
+    @property
+    def auto_theta(self) -> bool:
+        return self.theta == "auto"
+
+    def resolve_fallback(self) -> bool:
+        """force_fallback flag OR'd with the GDCA_FORCE_FALLBACK env var."""
+        env = os.environ.get("GDCA_FORCE_FALLBACK", "").lower()
+        return self.force_fallback or env in ("1", "true", "yes")
+
+    def resolve_dtype(self):
+        import jax
+        import jax.numpy as jnp
+
+        if self.dtype is not None:
+            return jnp.dtype(self.dtype)
+        return jnp.dtype(jnp.float64 if jax.config.jax_enable_x64
+                         else jnp.float32)

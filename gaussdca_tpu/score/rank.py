@@ -1,0 +1,69 @@
+"""Ranking and text emission.
+
+Reimplements the reference's ``compute_ranking`` (/root/reference/src/
+GaussDCA.jl:88-99) and ``printrank`` (src/GaussDCA.jl:67-74):
+
+- pairs (i, j) with 1 <= i <= N - m and i + m <= j <= N (m = min_separation),
+  exactly (N-m)(N-m+1)/2 of them, scored from the lower triangle S[j, i],
+- sorted by score descending (tie order unspecified, as in the reference's
+  unstable sort — golden comparisons are set + value based),
+- emitted as ``"%i %i %e"`` lines (the format is load-bearing: golden files
+  are compared token-by-token).
+
+The sort runs on the host over the gathered score vector: it is O(P log P)
+on ~1e4-1e6 pairs, negligible next to the device stages, and the output is
+a host-side list anyway. A device-side ``top_k`` variant is provided for
+the streaming/batch mode where only the head of the ranking is needed.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple, Union, IO
+
+import numpy as np
+
+Ranking = List[Tuple[int, int, float]]
+
+
+def ranking_pairs(N: int, min_separation: int) -> Tuple[np.ndarray, np.ndarray]:
+    """1-based (i, j) index arrays of all ranked pairs, in generation order."""
+    m = min_separation
+    iu, ju = np.triu_indices(N, k=m)
+    return iu + 1, ju + 1
+
+
+def compute_ranking(S: np.ndarray, min_separation: int) -> Ranking:
+    """Ranked (i, j, score) triples, descending score; 1-based indices."""
+    S = np.asarray(S)
+    N = S.shape[0]
+    ii, jj = ranking_pairs(N, min_separation)
+    # Reference reads the lower triangle S[j, i] (src/GaussDCA.jl:94).
+    scores = S[jj - 1, ii - 1]
+    order = np.argsort(-scores, kind="stable")
+    return [(int(ii[k]), int(jj[k]), float(scores[k])) for k in order]
+
+
+def top_k_ranking(S: np.ndarray, min_separation: int, k: int) -> Ranking:
+    """Top-k ranked pairs without a full sort."""
+    S = np.asarray(S)
+    N = S.shape[0]
+    ii, jj = ranking_pairs(N, min_separation)
+    scores = S[jj - 1, ii - 1]
+    k = min(k, scores.size)
+    part = np.argpartition(-scores, k - 1)[:k]
+    order = part[np.argsort(-scores[part], kind="stable")]
+    return [(int(ii[t]), int(jj[t]), float(scores[t])) for t in order]
+
+
+def format_rank(R: Ranking) -> str:
+    """The reference's "%i %i %e" emission format (src/GaussDCA.jl:69)."""
+    return "".join(f"{i} {j} {x:e}\n" for i, j, x in R)
+
+
+def printrank(out: Union[str, IO[str]], R: Ranking) -> None:
+    """Write a ranking to a path or text IO (src/GaussDCA.jl:67-74)."""
+    if isinstance(out, str):
+        with open(out, "w") as fh:
+            fh.write(format_rank(R))
+    else:
+        out.write(format_rank(R))

@@ -1,0 +1,117 @@
+"""Sequence reweighting: auto-theta + similarity-threshold weights.
+
+Implements the contract of DCAUtils ``compute_weighted_frequencies``'s
+weighting stage as consumed at /root/reference/src/GaussDCA.jl:28 with
+``theta = :auto`` default (src/GaussDCA.jl:11):
+
+- pairwise identity: ``matches(a, b) = #{k : Z[a,k] == Z[b,k]}`` over the
+  full alphabet (a gap aligned to a gap counts as a match, exactly like the
+  reference's packed-XOR Hamming kernel),
+- auto-theta: ``theta = min(0.5, 0.38 * 0.32 / meanfracid)`` with
+  ``meanfracid`` the mean pairwise fraction-identity over all M(M-1)/2 pairs,
+- weights: ``thresh = floor(theta * N)``;
+  ``W[a] = 1 / (1 + #{b != a : hamming(a, b) < thresh})``; ``Meff = sum(W)``.
+  ``theta == 0`` gives uniform weights (golden case small.DIRout2).
+
+This module is the pure-jnp reference path ("fallback" in the sense of the
+reference's DCAUTILS_FORCE_FALLBACK cross-check, test/runtests.jl:78-86).
+The TPU-optimized path lives in ops/distance.py (tiled MXU one-hot matmul
+Pallas kernel) and must agree exactly — distances are small integers, exact
+in every dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+AUTO_THETA_COEFF = 0.38 * 0.32  # = 0.1216, the reference's auto-theta constant
+
+
+def match_counts(Z: jax.Array, *, row_chunk: int = 512) -> jax.Array:
+    """All-pairs identity counts: out[a, b] = #{k : Z[a,k] == Z[b,k]}.
+
+    Pure-jnp fallback; O(M^2 N) via chunked broadcast-compare so peak
+    memory is O(row_chunk * M * N) bools.
+    """
+    M, _ = Z.shape
+    if M <= row_chunk:
+        eq = (Z[:, None, :] == Z[None, :, :])
+        return jnp.sum(eq, axis=-1, dtype=jnp.int32)
+
+    pad = (-M) % row_chunk
+    Zp = jnp.pad(Z, ((0, pad), (0, 0)))
+    blocks = Zp.reshape(-1, row_chunk, Z.shape[1])
+
+    def one_block(zb):
+        eq = (zb[:, None, :] == Z[None, :, :])
+        return jnp.sum(eq, axis=-1, dtype=jnp.int32)
+
+    out = jax.lax.map(one_block, blocks).reshape(-1, M)
+    return out[:M]
+
+
+def mean_fraction_identity(D: jax.Array, N: int,
+                           dtype=jnp.float64) -> jax.Array:
+    """Mean pairwise fraction-identity over the M(M-1)/2 off-diagonal pairs."""
+    M = D.shape[0]
+    total = (jnp.sum(D, dtype=dtype) - M * N) / 2.0  # strict upper triangle
+    npairs = M * (M - 1) / 2.0
+    return total / (N * npairs)
+
+
+def auto_theta(D: jax.Array, N: int, dtype=jnp.float64) -> jax.Array:
+    """theta = min(0.5, 0.1216 / meanfracid)."""
+    mfi = mean_fraction_identity(D, N, dtype)
+    return jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
+
+
+def weights_from_matches(D: jax.Array, N: int, theta: jax.Array,
+                         dtype=jnp.float64) -> Tuple[jax.Array, jax.Array]:
+    """Similarity weights from the identity-count matrix.
+
+    hamming(a,b) = N - D[a,b]; neighbor iff hamming < floor(theta*N),
+    self excluded. W = 1/(1+neighbors), Meff = sum(W).
+    """
+    M = D.shape[0]
+    thresh = jnp.floor(jnp.asarray(theta, dtype) * N)
+    ham = (N - D).astype(dtype)
+    below = jnp.sum(ham < thresh, axis=1, dtype=dtype)
+    # The diagonal (hamming 0) is counted iff thresh > 0; remove self-match.
+    below = below - (thresh > 0).astype(dtype)
+    W = 1.0 / (1.0 + below)
+    return W, jnp.sum(W)
+
+
+def compute_weights(
+    Z: jax.Array,
+    theta: Union[str, float],
+    *,
+    dtype=jnp.float64,
+    match_counts_fn=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(W, Meff, resolved_theta) for a token matrix Z [M, N].
+
+    ``theta`` is "auto" or a real in [0, 1] (static: selects the traced
+    graph). ``match_counts_fn`` lets the TPU path inject the Pallas kernel.
+    """
+    _, N = Z.shape
+    counts = (match_counts_fn or match_counts)(Z)
+    if isinstance(theta, str):
+        if theta != "auto":
+            raise ValueError(f"invalid theta: {theta}")
+        th = auto_theta(counts, N, dtype)
+    else:
+        th = jnp.asarray(theta, dtype)
+    W, Meff = weights_from_matches(counts, N, th, dtype)
+    return W, Meff, th
+
+
+@functools.partial(jax.jit, static_argnames=("theta_is_auto", "dtype_name"))
+def _weights_jit(Z, theta_value, *, theta_is_auto: bool, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    theta = "auto" if theta_is_auto else theta_value
+    return compute_weights(Z, theta, dtype=dtype)

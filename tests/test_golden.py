@@ -1,0 +1,78 @@
+"""End-to-end golden-file regression against the reference outputs.
+
+Comparison semantics match the reference's test harness
+(/root/reference/test/runtests.jl:29-50): parse each "%i %i %e" line into a
+(i, j) -> score map, require the exact same key set, and per-key approximate
+equality (the reference uses Julia isapprox, rtol ~ 1.5e-8; golden files
+carry 7 significant digits so we allow 1e-6 against the printed values).
+Tie ORDER is deliberately unasserted — the reference's sort is unstable.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from gaussdca_tpu import gdca
+from gaussdca_tpu.score.rank import format_rank
+
+RTOL = 1e-6
+
+
+def todict(text):
+    d = {}
+    for line in text.splitlines():
+        toks = line.split()
+        assert len(toks) == 3
+        key = (int(toks[0]), int(toks[1]))
+        assert key not in d
+        d[key] = float(toks[2])
+    return d
+
+
+def assert_matches_golden(result, golden_path):
+    got = todict(format_rank(result.ranking))
+    want = todict(open(golden_path).read())
+    assert set(got) == set(want)
+    g = np.array([got[k] for k in sorted(want)])
+    w = np.array([want[k] for k in sorted(want)])
+    np.testing.assert_allclose(g, w, rtol=RTOL, atol=1e-12)
+
+
+def test_small_frob_defaults(golden_dir):
+    r = gdca(os.path.join(golden_dir, "small.fasta.gz"))
+    assert len(r) == 1176
+    assert_matches_golden(r, os.path.join(golden_dir, "small.FNRout.txt"))
+
+
+def test_small_di_dedup(golden_dir):
+    r = gdca(os.path.join(golden_dir, "small.fasta.gz"),
+             pseudocount=0.2, score="DI", remove_dups=True)
+    assert r.M == 98  # 106 - 8 duplicate copies
+    assert_matches_golden(r, os.path.join(golden_dir, "small.DIRout.txt"))
+
+
+def test_small_di_theta0(golden_dir):
+    r = gdca(os.path.join(golden_dir, "small.fasta.gz"),
+             pseudocount=0.2, score="DI", theta=0.0,
+             max_gap_fraction=0.8, min_separation=4)
+    assert len(r) == 1225
+    assert r.meff == pytest.approx(106.0)  # theta=0 -> uniform weights
+    assert_matches_golden(r, os.path.join(golden_dir, "small.DIRout2.txt"))
+
+
+def test_large_di_dedup(golden_dir):
+    r = gdca(os.path.join(golden_dir, "large.fasta.gz"),
+             pseudocount=0.2, score="DI", remove_dups=True)
+    assert r.N == 400 and r.n_dropped_gaps == 5
+    assert len(r) == 78210
+    assert_matches_golden(r, os.path.join(golden_dir, "large.DIRout.txt"))
+
+
+def test_fallback_path_matches_golden(golden_dir, monkeypatch):
+    """The reference's test3 pattern (runtests.jl:78-86): force the
+    fallback kernels and require identical golden output."""
+    monkeypatch.setenv("GDCA_FORCE_FALLBACK", "true")
+    r = gdca(os.path.join(golden_dir, "small.fasta.gz"),
+             pseudocount=0.2, score="DI", remove_dups=True)
+    assert_matches_golden(r, os.path.join(golden_dir, "small.DIRout.txt"))

@@ -1,0 +1,150 @@
+"""Score-stage unit tests: FN gauge, DI properties, APC, ranking."""
+
+import io
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussdca_tpu.score.apc import correct_apc
+from gaussdca_tpu.score.di import di_score
+from gaussdca_tpu.score.frob import frob_score
+from gaussdca_tpu.score.rank import (compute_ranking, format_rank, printrank,
+                                     ranking_pairs, top_k_ranking)
+
+
+def random_spd(n, rng, jitter=0.5):
+    A = rng.standard_normal((n, n))
+    return jnp.asarray(A @ A.T + jitter * n * np.eye(n))
+
+
+def test_frob_gauge_invariance():
+    # Adding per-row/per-column constants to a coupling block must not
+    # change its zero-sum-gauge Frobenius norm.
+    q, s, N = 4, 3, 3
+    rng = np.random.default_rng(0)
+    mJ = rng.standard_normal((N * s, N * s))
+    mJ = (mJ + mJ.T) / 2
+    S0 = np.asarray(frob_score(jnp.asarray(mJ), q))
+
+    shifted = mJ.copy()
+    # shift block (0, 1) by row constants r_a and column constants c_b
+    r = rng.standard_normal(s)[:, None]
+    c = rng.standard_normal(s)[None, :]
+    shifted[0:s, s:2 * s] += r + c
+    shifted[s:2 * s, 0:s] = shifted[0:s, s:2 * s].T
+    S1 = np.asarray(frob_score(jnp.asarray(shifted), q))
+    np.testing.assert_allclose(S1[0, 1], S0[0, 1], rtol=1e-12)
+
+
+def test_frob_zero_coupling_zero_score():
+    q, s, N = 3, 2, 4
+    mJ = jnp.asarray(np.kron(np.eye(N), np.ones((s, s))))  # block-diagonal
+    S = np.asarray(frob_score(mJ, q))
+    offdiag = S - np.diag(np.diag(S))
+    np.testing.assert_allclose(offdiag, 0.0, atol=1e-14)
+
+
+def test_frob_symmetric_zero_diag():
+    q, s, N = 4, 3, 5
+    rng = np.random.default_rng(1)
+    mJ = rng.standard_normal((N * s, N * s))
+    mJ = jnp.asarray((mJ + mJ.T) / 2)
+    S = np.asarray(frob_score(mJ, q))
+    np.testing.assert_allclose(S, S.T, rtol=1e-12)
+    np.testing.assert_allclose(np.diag(S), 0.0)
+
+
+def test_di_zero_coupling_zero_score():
+    q, s, N = 3, 2, 3
+    rng = np.random.default_rng(2)
+    C = random_spd(N * s, rng)
+    mJ = jnp.asarray(np.kron(np.eye(N), np.ones((s, s)) + np.eye(s)))
+    S = np.asarray(di_score(mJ, C, q))
+    offdiag = S - np.diag(np.diag(S))
+    np.testing.assert_allclose(offdiag, 0.0, atol=1e-12)
+
+
+def test_di_nonnegative_symmetric():
+    q, s, N = 4, 3, 4
+    rng = np.random.default_rng(3)
+    C = random_spd(N * s, rng)
+    mJ = jnp.linalg.inv(C)
+    S = np.asarray(di_score(mJ, C, q))
+    assert np.all(S >= -1e-12)
+    np.testing.assert_allclose(S, S.T, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.diag(S), 0.0)
+
+
+def test_di_2site_exact_mutual_information():
+    # One pair, s=1: DI must equal the scalar Gaussian MI
+    #   -0.5*log(1 - rho^2) of the *direct* model matched to C.
+    # Build an exactly 2-site system: then the direct model IS the model,
+    # and DI(i,j) = MI(x_i, x_j) computable in closed form from C.
+    q, s, N = 2, 1, 2
+    c = np.array([[2.0, 0.8], [0.8, 1.0]])
+    C = jnp.asarray(c)
+    mJ = jnp.linalg.inv(C)
+    S = np.asarray(di_score(mJ, C, q))
+    rho2 = c[0, 1] ** 2 / (c[0, 0] * c[1, 1])
+    expected = -0.5 * np.log(1 - rho2)
+    np.testing.assert_allclose(S[0, 1], expected, rtol=1e-10)
+
+
+def test_apc_matches_reference_formula():
+    rng = np.random.default_rng(4)
+    N = 7
+    S = rng.standard_normal((N, N))
+    S = (S + S.T) / 2
+    np.fill_diagonal(S, 0.0)
+    got = np.asarray(correct_apc(jnp.asarray(S)))
+    Si = S.sum(axis=0, keepdims=True)
+    Sj = S.sum(axis=1, keepdims=True)
+    Sa = S.sum() * (1 - 1 / N)
+    np.testing.assert_allclose(got, S - (Sj @ Si) / Sa, rtol=1e-12)
+
+
+def test_ranking_pair_set_and_source_triangle():
+    N, m = 8, 3
+    S = np.zeros((N, N))
+    # plant asymmetry: ranking must read the LOWER triangle S[j, i]
+    S[5, 1] = 7.0   # pair (i=2, j=6) 1-based
+    S[1, 5] = -100.0
+    R = compute_ranking(S, m)
+    assert len(R) == (N - m) * (N - m + 1) // 2
+    assert R[0] == (2, 6, 7.0)
+    pairs = {(i, j) for i, j, _ in R}
+    assert all(j - i >= m for i, j in pairs)
+    ii, jj = ranking_pairs(N, m)
+    assert pairs == set(zip(ii.tolist(), jj.tolist()))
+
+
+def test_ranking_sorted_descending():
+    rng = np.random.default_rng(5)
+    N = 10
+    S = rng.standard_normal((N, N))
+    R = compute_ranking(S, 2)
+    scores = [x for _, _, x in R]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_top_k_matches_full_ranking_head():
+    rng = np.random.default_rng(6)
+    N = 12
+    S = rng.standard_normal((N, N))
+    full = compute_ranking(S, 3)
+    top = top_k_ranking(S, 3, 5)
+    assert [x[2] for x in top] == [x[2] for x in full[:5]]
+
+
+def test_printrank_format():
+    R = [(11, 35, 3.6494750123), (9, 37, -1.676179e-4)]
+    buf = io.StringIO()
+    printrank(buf, R)
+    assert buf.getvalue() == "11 35 3.649475e+00\n9 37 -1.676179e-04\n"
+
+
+def test_printrank_to_path(tmp_path):
+    p = str(tmp_path / "out.txt")
+    printrank(p, [(1, 2, 0.5)])
+    assert open(p).read() == "1 2 5.000000e-01\n"
