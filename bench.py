@@ -1,0 +1,93 @@
+"""Benchmark: reweighting throughput (the reference's hot loop #1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "seq-pairs/s", "vs_baseline": N}
+
+The metric is all-pairs similarity throughput of the streaming row-stats
+kernel (ops/distance.py) — the TPU replacement for the reference's
+threaded bit-packed Hamming loop (SURVEY.md 2.5). The reference publishes
+no numbers (BASELINE.md), so ``vs_baseline`` is measured against a CPU
+baseline run in-process: NumPy/BLAS one-hot sgemm, the strongest
+same-machine stand-in for the single-node reference (multithreaded BLAS
+generally beats the Julia popcount loop).
+
+Detail lines go to stderr; stdout carries exactly the one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_tpu(M=32768, N=384, q=21, reps=5):
+    import jax
+    import jax.numpy as jnp
+    from gaussdca_tpu.ops import distance
+
+    rng = np.random.default_rng(0)
+    # distinct input per rep (guards against any transparent caching of
+    # identical requests in the runtime) + host fetch to bound completion
+    Zs = [jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+          for _ in range(reps)]
+    thresh = jnp.asarray(float(int(0.2 * N)), jnp.float32)
+
+    def run(Zi):
+        rs, _ = distance.row_stats_pallas(Zi, thresh, q)
+        return float(np.asarray(rs[0]))
+
+    run(Zs[0])  # compile
+    times = []
+    for Zi in Zs:
+        t0 = time.perf_counter()
+        run(Zi)
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    pairs = M * (M - 1) / 2
+    log(f"[bench] backend={jax.default_backend()} M={M} N={N} q={q} "
+        f"median={t:.4f}s (all: {[round(x, 4) for x in times]}) -> "
+        f"{pairs / t:.3e} pairs/s "
+        f"({2 * M * M * N * q / t / 1e12:.1f} TFLOP/s one-hot-equiv)")
+    return pairs / t
+
+
+def bench_cpu_baseline(M=4096, N=384, q=21):
+    """NumPy/BLAS one-hot sgemm + threshold counts: the CPU stand-in for
+    the reference's threaded Hamming loop, on this same host."""
+    rng = np.random.default_rng(0)
+    Z = rng.integers(1, q + 1, size=(M, N), dtype=np.int8)
+    t0 = time.perf_counter()
+    E = np.zeros((M, N * q), dtype=np.float32)
+    idx = (np.arange(N) * q)[None, :] + (Z - 1)
+    np.put_along_axis(E.reshape(M, N, q),
+                      (Z - 1)[:, :, None].astype(np.int64), 1.0, axis=2)
+    D = E @ E.T
+    thresh = float(int(0.2 * N))
+    below = ((N - D) < thresh).sum(1)
+    _ = 1.0 / (1.0 + np.maximum(below - 1, 0))
+    dt = time.perf_counter() - t0
+    pairs = M * (M - 1) / 2
+    log(f"[bench] cpu-baseline (numpy/BLAS one-hot sgemm) M={M} N={N}: "
+        f"{dt:.3f}s -> {pairs / dt:.3e} pairs/s")
+    return pairs / dt
+
+
+def main():
+    value = bench_tpu()
+    baseline = bench_cpu_baseline()
+    print(json.dumps({
+        "metric": "all-pairs reweighting throughput (streaming Pallas "
+                  "row-stats kernel, M=32768 N=384 q=21)",
+        "value": round(value, 1),
+        "unit": "seq-pairs/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

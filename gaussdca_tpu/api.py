@@ -58,32 +58,24 @@ class GDCAResult:
         return self.ranking[k]
 
 
-def _resolve_kernels(cfg: GDCAConfig):
-    """Pick Pallas kernels or the pure-jnp fallback implementations."""
-    if cfg.resolve_fallback():
-        return {"match_counts_fn": None}
-    try:
-        from gaussdca_tpu.ops import dispatch
-        return dispatch.kernels()
-    except ImportError:
-        return {"match_counts_fn": None}
+def scores_pipeline(Z, pc, theta_value, *, q: int, score: str,
+                    theta_is_auto: bool, dtype, use_pallas: bool):
+    """Device pipeline: tokens -> APC-corrected score matrix (+ theta, Meff).
 
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("q", "score", "theta_is_auto", "dtype_name",
-                     "use_pallas"))
-def _scores_jit(Z, pc, theta_value, *, q: int, score: str,
-                theta_is_auto: bool, dtype_name: str, use_pallas: bool):
-    """Device pipeline: tokens -> APC-corrected score matrix (+ theta, Meff)."""
-    dtype = jnp.dtype(dtype_name)
-    match_fn = None
+    A plain traceable function (jit-wrapped by ``_scores_jit``; also the
+    body the sharded multi-chip path and the graft entry point reuse).
+    """
+    theta: Union[str, Any] = "auto" if theta_is_auto else theta_value
+    row_stats_fn = None
     if use_pallas:
         from gaussdca_tpu.ops import dispatch
-        match_fn = dispatch.kernels().get("match_counts_fn")
-    theta: Union[str, Any] = "auto" if theta_is_auto else theta_value
-    W, Meff, th = reweight.compute_weights(
-        Z, theta, dtype=dtype, match_counts_fn=match_fn)
+        row_stats_fn = dispatch.kernels().get("row_stats_fn")
+    if row_stats_fn is not None:
+        # Streaming path: O(M) memory, tiled MXU distance kernel.
+        W, Meff, th = reweight.compute_weights_streaming(
+            Z, theta, q, row_stats_fn, dtype=dtype)
+    else:
+        W, Meff, th = reweight.compute_weights(Z, theta, dtype=dtype)
     Pi_t, Pij_t, Meff = weighted_frequencies(Z, W, q, dtype=dtype)
     Pi, Pij = add_pseudocount(Pi_t, Pij_t, pc, q)
     C = compute_C(Pi, Pij)
@@ -94,6 +86,17 @@ def _scores_jit(Z, pc, theta_value, *, q: int, score: str,
         S = frob_score(mJ, q)
     S = correct_apc(S)
     return S, th, Meff
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("q", "score", "theta_is_auto", "dtype_name",
+                     "use_pallas"))
+def _scores_jit(Z, pc, theta_value, *, q: int, score: str,
+                theta_is_auto: bool, dtype_name: str, use_pallas: bool):
+    return scores_pipeline(
+        Z, pc, theta_value, q=q, score=score, theta_is_auto=theta_is_auto,
+        dtype=jnp.dtype(dtype_name), use_pallas=use_pallas)
 
 
 def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig) -> GDCAResult:

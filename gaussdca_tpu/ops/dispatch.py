@@ -5,10 +5,15 @@ Mirrors the reference's DCAUTILS_FORCE_FALLBACK pattern
 pure-jnp twin and the two are cross-validated through the same golden
 files. ``kernels()`` returns the optimized implementations when running on
 a TPU backend, and the fallbacks elsewhere (CPU golden mode, interpreter).
+
+Env overrides:
+- ``GDCA_DISTANCE_IMPL`` in {"pallas", "mxu", "fallback"} picks the
+  all-pairs identity kernel explicitly (default: pallas on TPU).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional
 
 import jax
@@ -22,13 +27,22 @@ def _on_tpu() -> bool:
 
 
 def kernels() -> Dict[str, Optional[Callable]]:
-    """Mapping of injectable kernel implementations (None = jnp fallback)."""
-    out: Dict[str, Optional[Callable]] = {"match_counts_fn": None}
-    if not _on_tpu():
+    """Mapping of injectable kernel implementations (None = jnp fallback).
+
+    The returned ``match_counts_fn`` has signature ``fn(Z, q) -> [M, M]``
+    int32 identity counts.
+    """
+    out: Dict[str, Optional[Callable]] = {"match_counts_fn": None,
+                                          "row_stats_fn": None}
+    impl = os.environ.get("GDCA_DISTANCE_IMPL", "").lower()
+    if impl == "fallback":
         return out
-    try:
-        from gaussdca_tpu.ops import distance
+    if impl not in ("pallas", "mxu") and not _on_tpu():
+        return out
+    from gaussdca_tpu.ops import distance
+    if impl == "mxu":
         out["match_counts_fn"] = distance.match_counts_mxu
-    except ImportError:
-        pass
+    else:
+        out["match_counts_fn"] = distance.match_counts_pallas
+        out["row_stats_fn"] = distance.row_stats_pallas
     return out

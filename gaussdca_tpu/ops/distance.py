@@ -1,0 +1,197 @@
+"""All-pairs sequence-identity kernels (hot loop #1).
+
+The reference's inner loop is a threaded, bit-packed XOR/popcount Hamming
+kernel over all M(M-1)/2 sequence pairs (SURVEY.md 2.5; the q < 32 limit at
+/root/reference/src/GaussDCA.jl:26 exists because of its 5-bit packing).
+A TPU is not a popcount machine — it is a matmul machine, so the TPU-native
+formulation is
+
+    matches[a, b] = sum_k sum_c 1[Z_ak = c] * 1[Z_bk = c]  =  (E E^T)[a, b]
+
+with E the {0,1} one-hot expansion: an [M, N*q] x [N*q, M] matmul on the
+MXU. bf16 one-hot inputs with f32 accumulation are exact (counts are
+integers <= N << 2^24), so the optimized path agrees bit-for-bit with the
+pure-jnp fallback in stats/reweight.py.
+
+Two implementations:
+
+- ``match_counts_mxu``: the XLA formulation — one-hot einsum. XLA tiles it
+  onto the MXU; E materializes in HBM ([M, N*q] bf16).
+- ``match_counts_pallas``: tiled Pallas kernel that never materializes E:
+  each (TM, TN) grid cell holds the raw token tiles in VMEM, expands
+  one-hot per symbol on the fly, and accumulates q partial [TM, N] x
+  [N, TN] matmuls into an f32 tile. HBM traffic drops from O(M*N*q) to
+  O(M*N) + O(M^2) output.
+
+Both pad M up to tile multiples with token 0, which matches no valid state
+(states are 1..q), so padded rows simply score 0 and are sliced away.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("q",))
+def match_counts_mxu(Z: jax.Array, q: int = 21) -> jax.Array:
+    """[M, M] identity counts via one-hot einsum (XLA MXU path)."""
+    M, N = Z.shape
+    states = jnp.arange(1, q + 1, dtype=Z.dtype)
+    E = (Z[:, :, None] == states).astype(jnp.bfloat16).reshape(M, N * q)
+    D = jnp.einsum("ak,bk->ab", E, E,
+                   preferred_element_type=jnp.float32)
+    return D.astype(jnp.int32)
+
+
+def _match_kernel(za_ref, zb_ref, out_ref, *, q: int):
+    """One (TM, TN) tile: accumulate one-hot matmuls over the q symbols."""
+    # Widen to i32 for the comparisons: Mosaic/v5e has no 8-bit vector cmp.
+    za = za_ref[:].astype(jnp.int32)  # [TM, N]
+    zb = zb_ref[:].astype(jnp.int32)  # [TN, N]
+
+    def body(c, acc):
+        a = (za == c).astype(jnp.bfloat16)
+        b = (zb == c).astype(jnp.bfloat16)
+        return acc + jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    acc = jax.lax.fori_loop(1, q + 1, body, acc, unroll=True)
+    out_ref[:] = acc.astype(jnp.int32)
+
+
+def _row_stats_kernel(thresh_ref, za_ref, zb_ref, sum_ref, cnt_ref,
+                      *, q: int, n_valid: int):
+    """Grid cell (i, j): fold tile statistics into the row accumulators.
+
+    Never materializes the [M, M] match matrix in HBM — each (TM, TN)
+    tile is reduced to per-row (match-sum, neighbor-count) partials in
+    VMEM and accumulated across the j grid axis (output blocks indexed by
+    i only are revisited, the standard Pallas reduction pattern).
+    """
+    j = pl.program_id(1)
+    za = za_ref[:].astype(jnp.int32)
+    zb = zb_ref[:].astype(jnp.int32)
+
+    def body(c, acc):
+        a = (za == c).astype(jnp.bfloat16)
+        b = (zb == c).astype(jnp.bfloat16)
+        return acc + jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    tile = jax.lax.fori_loop(
+        1, q + 1, body,
+        jnp.zeros((za.shape[0], zb.shape[0]), jnp.float32), unroll=True)
+
+    rs = jnp.sum(tile, axis=1, keepdims=True)                  # [TM, 1]
+    thresh = thresh_ref[0, 0]
+    # neighbor iff hamming = n_valid - matches < thresh (strict, like the
+    # reference); padded rows/cols have 0 matches -> hamming = n_valid,
+    # never below thresh for theta <= 1.
+    below = jnp.sum(((n_valid - tile) < thresh).astype(jnp.float32),
+                    axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        sum_ref[:] = rs
+        cnt_ref[:] = below
+
+    @pl.when(j != 0)
+    def _():
+        sum_ref[:] = sum_ref[:] + rs
+        cnt_ref[:] = cnt_ref[:] + below
+
+
+@functools.partial(jax.jit, static_argnames=("q", "tile_m", "interpret"))
+def row_stats_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21, *,
+                     tile_m: int = 256, interpret: bool = False):
+    """(row match-sums, row neighbor-counts) in O(M*N) memory.
+
+    Returns ``(rowsum [M] f32, below [M] f32)`` where
+    ``rowsum[a] = sum_b matches(a, b)`` (including the self term N) and
+    ``below[a] = #{b : hamming(a, b) < thresh}`` (including self when
+    thresh > 0). Drives both auto-theta (via sum(rowsum)) and the
+    similarity weights, replacing the reference's O(M^2) bit-packed loop
+    with tiled MXU work and O(M) output.
+    """
+    M, N = Z.shape
+    Mp = _round_up(max(M, tile_m), tile_m)
+    Np = _round_up(max(N, 128), 128)
+    Zp = jnp.zeros((Mp, Np), jnp.int8).at[:M, :N].set(Z.astype(jnp.int8))
+    th = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
+
+    grid = (Mp // tile_m, Mp // tile_m)
+    kernel = functools.partial(_row_stats_kernel, q=q, n_valid=N)
+    rowsum, below = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_m, Np), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, Np), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Mp * Np * q,
+            bytes_accessed=2 * Mp * Np + 8 * Mp,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(th, Zp, Zp)
+    return rowsum[:M, 0], below[:M, 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("q", "tile_m", "interpret"))
+def match_counts_pallas(Z: jax.Array, q: int = 21, *, tile_m: int = 256,
+                        interpret: bool = False) -> jax.Array:
+    """[M, M] identity counts via the tiled Pallas kernel."""
+    M, N = Z.shape
+    Mp = _round_up(max(M, tile_m), tile_m)
+    Np = _round_up(max(N, 128), 128)
+    Zp = jnp.zeros((Mp, Np), jnp.int8).at[:M, :N].set(Z.astype(jnp.int8))
+
+    grid = (Mp // tile_m, Mp // tile_m)
+    out = pl.pallas_call(
+        functools.partial(_match_kernel, q=q),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, Np), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, Np), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_m), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Mp), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Mp * Np * q,
+            bytes_accessed=2 * Mp * Np + 4 * Mp * Mp,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(Zp, Zp)
+    return out[:M, :M]

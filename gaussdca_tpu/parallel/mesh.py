@@ -1,0 +1,67 @@
+"""Device mesh construction and sharding helpers.
+
+The reference's only parallelism is shared-memory Julia threading
+(/root/reference/README.md:92-94); the scale-out design here is new
+(SURVEY.md section 2.9): a 2-D ``(data, model)`` mesh where
+
+- ``data`` shards the sequence axis M (distance tiles, weights, and the
+  frequency-matmul contraction — merged by XLA-inserted psums),
+- ``model`` shards the N*s statistical dimension (frequency/covariance
+  rows, score rows) and, later, the blocked covariance solve.
+
+Collectives are never written by hand: shardings are declared via
+NamedSharding / sharding constraints under jit and GSPMD inserts
+all-gathers/reduce-scatters over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def _factor2(n: int) -> Tuple[int, int]:
+    """Split n into (dp, tp) with tp the largest power-of-two <= sqrt-ish
+    divisor — a balanced default when the caller doesn't specify shape."""
+    tp = 1
+    while tp * 2 <= n and n % (tp * 2) == 0 and tp * 2 <= 4:
+        tp *= 2
+    return n // tp, tp
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              shape: Optional[Tuple[int, int]] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """A (data, model) mesh over the first ``n_devices`` devices."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devs)} visible")
+        devs = devs[:n_devices]
+    n = len(devs)
+    dp, tp = shape if shape is not None else _factor2(n)
+    if dp * tp != n:
+        raise ValueError(f"mesh shape {dp}x{tp} != device count {n}")
+    return Mesh(np.asarray(devs).reshape(dp, tp), (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Rows (sequences) split over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, None))
+
+
+def model_sharding(mesh: Mesh) -> NamedSharding:
+    """Rows (statistical dimension) split over the model axis."""
+    return NamedSharding(mesh, P(MODEL_AXIS, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

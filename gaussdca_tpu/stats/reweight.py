@@ -81,7 +81,9 @@ def weights_from_matches(D: jax.Array, N: int, theta: jax.Array,
     ham = (N - D).astype(dtype)
     below = jnp.sum(ham < thresh, axis=1, dtype=dtype)
     # The diagonal (hamming 0) is counted iff thresh > 0; remove self-match.
-    below = below - (thresh > 0).astype(dtype)
+    # (Clamped at 0: token-0 padding rows match nothing, not even
+    # themselves, and would otherwise go to -1 -> W = inf.)
+    below = jnp.maximum(below - (thresh > 0).astype(dtype), 0.0)
     W = 1.0 / (1.0 + below)
     return W, jnp.sum(W)
 
@@ -108,6 +110,43 @@ def compute_weights(
         th = jnp.asarray(theta, dtype)
     W, Meff = weights_from_matches(counts, N, th, dtype)
     return W, Meff, th
+
+
+def compute_weights_streaming(
+    Z: jax.Array,
+    theta: Union[str, float],
+    q: int,
+    row_stats_fn,
+    *,
+    dtype=jnp.float64,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(W, Meff, resolved_theta) in O(M) memory via the row-stats kernel.
+
+    ``row_stats_fn(Z, thresh, q) -> (rowsum, below)`` per ops/distance.py.
+    Same semantics as ``compute_weights`` but never materializes the
+    [M, M] match matrix, so it scales to 1e5+ sequences. The auto-theta
+    branch runs the distance pass twice (theta must be resolved before the
+    threshold count), exactly like the reference's two-pass design.
+
+    Note: rowsum accumulates in f32, so for M*N > 2^24 the auto-theta mean
+    carries ~1e-7 relative error — this can only matter if floor(theta*N)
+    sits exactly on an integer boundary.
+    """
+    M, N = Z.shape
+    if isinstance(theta, str):
+        if theta != "auto":
+            raise ValueError(f"invalid theta: {theta}")
+        rowsum, _ = row_stats_fn(Z, jnp.asarray(0.0, jnp.float32), q)
+        total = (jnp.sum(rowsum, dtype=dtype) - M * N) / 2.0
+        mfi = total / (N * (M * (M - 1) / 2.0))
+        th = jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
+    else:
+        th = jnp.asarray(theta, dtype)
+    thresh = jnp.floor(th.astype(dtype) * N)
+    _, below = row_stats_fn(Z, thresh.astype(jnp.float32), q)
+    below = below.astype(dtype) - (thresh > 0).astype(dtype)  # drop self
+    W = 1.0 / (1.0 + below)
+    return W, jnp.sum(W), th
 
 
 @functools.partial(jax.jit, static_argnames=("theta_is_auto", "dtype_name"))

@@ -1,0 +1,72 @@
+"""Optimized distance kernels vs the pure-jnp fallback (exactness).
+
+Counts are small integers, so the MXU/Pallas paths must agree bit-for-bit
+with the fallback — the reference cross-validates its packed kernel against
+its generic one the same way (test/runtests.jl:78-86).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussdca_tpu.ops import distance
+from gaussdca_tpu.stats import reweight
+
+
+@pytest.mark.parametrize("M,N,q", [(7, 5, 3), (64, 53, 21), (130, 40, 21),
+                                   (257, 129, 21)])
+def test_mxu_matches_fallback(M, N, q):
+    rng = np.random.default_rng(M * 1000 + N)
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    want = np.asarray(reweight.match_counts(Z))
+    got = np.asarray(distance.match_counts_mxu(Z, q))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("M,N,q", [(16, 24, 5), (100, 53, 21)])
+def test_pallas_interpret_matches_fallback(M, N, q):
+    rng = np.random.default_rng(M)
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    want = np.asarray(reweight.match_counts(Z))
+    got = np.asarray(distance.match_counts_pallas(Z, q, tile_m=128,
+                                                  interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_padding_rows_are_inert():
+    # M not a multiple of the tile: padded rows must not leak into results.
+    rng = np.random.default_rng(3)
+    Z = jnp.asarray(rng.integers(1, 22, size=(33, 19), dtype=np.int8))
+    want = np.asarray(reweight.match_counts(Z))
+    got = np.asarray(distance.match_counts_pallas(Z, 21, tile_m=128,
+                                                  interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def _row_stats_interp(Z, thresh, q):
+    return distance.row_stats_pallas(Z, thresh, q, tile_m=128,
+                                     interpret=True)
+
+
+@pytest.mark.parametrize("theta", [0.0, 0.2, 0.5, "auto"])
+def test_streaming_weights_match_dense(theta):
+    rng = np.random.default_rng(7)
+    Z = jnp.asarray(rng.integers(1, 22, size=(70, 31), dtype=np.int8))
+    W0, Meff0, th0 = reweight.compute_weights(Z, theta)
+    W1, Meff1, th1 = reweight.compute_weights_streaming(
+        Z, theta, 21, _row_stats_interp)
+    np.testing.assert_allclose(np.asarray(W1), np.asarray(W0), rtol=1e-12)
+    np.testing.assert_allclose(float(Meff1), float(Meff0), rtol=1e-12)
+    np.testing.assert_allclose(float(th1), float(th0), rtol=1e-12)
+
+
+def test_row_stats_values():
+    rng = np.random.default_rng(8)
+    M, N, q = 40, 17, 6
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    D = np.asarray(reweight.match_counts(Z))
+    thresh = 4.0
+    rowsum, below = _row_stats_interp(Z, jnp.float32(thresh), q)
+    np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
+    np.testing.assert_allclose(np.asarray(below),
+                               ((N - D) < thresh).sum(1))

@@ -1,0 +1,77 @@
+"""Multi-chip equivalence on a virtual 8-device CPU mesh.
+
+The reference has no distributed mode at all; the invariant here is the
+one that matters for the TPU build (SURVEY.md section 4): a k-device
+sharded run produces the same scores as the single-device run.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussdca_tpu.api import scores_pipeline
+from gaussdca_tpu.parallel import mesh as meshlib
+from gaussdca_tpu.parallel.sharded import run_sharded
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices")
+
+
+def _toy(M=64, N=24, q=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+
+
+@pytest.mark.parametrize("score", ["frob", "DI"])
+@pytest.mark.parametrize("theta", ["auto", 0.2])
+def test_sharded_equals_single_device(score, theta):
+    q = 8
+    Z = _toy(q=q)
+    dtype = jnp.float64
+
+    S0, th0, meff0 = scores_pipeline(
+        Z, jnp.asarray(0.5, dtype), jnp.asarray(0.0 if theta == "auto"
+                                                else theta, dtype),
+        q=q, score=score, theta_is_auto=(theta == "auto"),
+        dtype=dtype, use_pallas=False)
+
+    m = meshlib.make_mesh(8, shape=(4, 2))
+    S1, th1, meff1 = run_sharded(m, Z, 0.5, theta, q=q, score=score,
+                                 dtype=dtype)
+
+    assert float(th1) == pytest.approx(float(th0), rel=1e-12)
+    assert float(meff1) == pytest.approx(float(meff0), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S0),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_mesh_shapes():
+    m = meshlib.make_mesh(8)
+    assert m.devices.size == 8
+    assert m.axis_names == ("data", "model")
+    with pytest.raises(ValueError):
+        meshlib.make_mesh(8, shape=(3, 2))
+
+
+def test_sharded_ranking_matches(golden_dir):
+    """End-to-end: sharded run reproduces the single-device golden ranking
+    (small alignment, frob defaults) on the virtual mesh."""
+    import os
+    from gaussdca_tpu.io import fasta
+    from gaussdca_tpu.score.rank import compute_ranking
+
+    msa = fasta.read_fasta_alignment(
+        os.path.join(golden_dir, "small.fasta.gz"), 0.9)
+    m = meshlib.make_mesh(8, shape=(4, 2))
+    S, th, meff = run_sharded(m, jnp.asarray(msa.tokens), 0.8, "auto",
+                              q=msa.q, score="frob", dtype=jnp.float64)
+    R = compute_ranking(np.asarray(S), 5)
+    want = {}
+    for line in open(os.path.join(golden_dir, "small.FNRout.txt")):
+        t = line.split()
+        want[(int(t[0]), int(t[1]))] = float(t[2])
+    got = {(i, j): x for i, j, x in R}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-6)
