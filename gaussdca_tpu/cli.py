@@ -1,0 +1,165 @@
+"""Batch CLI: run the gDCA pipeline over one or many MSA files.
+
+The reference has no CLI (usage is from the Julia REPL,
+/root/reference/README.md:100-117); this is the batch/streaming front-end
+for the 100+-family production mode (SURVEY.md section 7):
+
+    python -m gaussdca_tpu family1.fasta.gz family2.fasta ... -o out/
+
+Per family it writes ``<stem>.rank.txt`` in the reference's "%i %i %e"
+emission format and logs one structured JSON record (M, N, q, drop
+counts, resolved theta, Meff, stage timings) to stderr.
+
+Artifacts are content-addressed (sha256 of file bytes + the scoring
+config) in ``--cache-dir``: re-running a batch skips families whose
+inputs and parameters are unchanged — the checkpoint/resume analog for a
+pipeline whose unit of work is one stateless family (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+from gaussdca_tpu.core.config import GDCAConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gaussdca_tpu",
+        description="TPU-native Gaussian Direct Coupling Analysis: "
+                    "contact-prediction rankings from MSA files.")
+    p.add_argument("inputs", nargs="+", help="FASTA alignment file(s), "
+                   "optionally gzipped")
+    p.add_argument("-o", "--output-dir", default=".",
+                   help="directory for <stem>.rank.txt outputs")
+    p.add_argument("--pseudocount", type=float, default=0.8)
+    p.add_argument("--theta", default="auto",
+                   help='"auto" or a number in [0, 1]')
+    p.add_argument("--max-gap-fraction", type=float, default=0.9)
+    p.add_argument("--score", choices=["frob", "DI"], default="frob")
+    p.add_argument("--min-separation", type=int, default=5)
+    p.add_argument("--remove-dups", action="store_true")
+    p.add_argument("--dtype", choices=["float32", "float64"], default=None,
+                   help="compute dtype (default: f64 if x64 enabled, "
+                        "else f32)")
+    p.add_argument("--fallback", action="store_true",
+                   help="force pure-jnp kernels (no Pallas)")
+    p.add_argument("--top-k", type=int, default=None,
+                   help="emit only the top K pairs")
+    p.add_argument("--cache-dir", default=None,
+                   help="content-addressed artifact cache; unchanged "
+                        "(file, params) pairs are skipped")
+    p.add_argument("--quiet", action="store_true",
+                   help="suppress per-family JSON logs")
+    return p
+
+
+def _parse_theta(s):
+    if s == "auto":
+        return "auto"
+    try:
+        return float(s)
+    except ValueError:
+        raise SystemExit(f"invalid --theta value: {s}")
+
+
+def _cache_key(path: str, cfg: GDCAConfig, top_k: Optional[int]) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as fh:
+        h.update(fh.read())
+    key = (cfg.pseudocount, cfg.theta, cfg.max_gap_fraction, cfg.score,
+           cfg.min_separation, cfg.remove_dups, str(cfg.dtype), top_k)
+    h.update(repr(key).encode())
+    return h.hexdigest()
+
+
+def run_family(path: str, cfg: GDCAConfig, out_dir: str,
+               top_k: Optional[int], cache_dir: Optional[str],
+               quiet: bool) -> str:
+    """Process one family; returns the output path."""
+    from gaussdca_tpu import api
+    from gaussdca_tpu.io import fasta
+    from gaussdca_tpu.score.rank import format_rank
+    from gaussdca_tpu.utils.log import RunLog
+
+    stem = os.path.basename(path)
+    for suf in (".gz", ".fasta", ".fa", ".afa", ".fna"):
+        if stem.endswith(suf):
+            stem = stem[: -len(suf)]
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, stem + ".rank.txt")
+
+    log = RunLog(stem, enabled=not quiet)
+
+    cached = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cached = os.path.join(cache_dir, _cache_key(path, cfg, top_k))
+        if os.path.exists(cached):
+            with open(cached) as fh, open(out_path, "w") as out:
+                out.write(fh.read())
+            log.set(cached=True, output=out_path)
+            log.emit()
+            return out_path
+
+    with log.stage("ingest"):
+        msa = fasta.read_fasta_alignment(path, cfg.max_gap_fraction)
+    with log.stage("pipeline"):
+        result = api.gdca_from_msa(msa, cfg)
+    with log.stage("emit"):
+        R = result.ranking[:top_k] if top_k else result.ranking
+        text = format_rank(R)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(out_path, "w") as fh:
+            fh.write(text)
+        if cached:
+            with open(cached, "w") as fh:
+                fh.write(text)
+
+    log.set(M=result.M, N=result.N, q=result.q,
+            dropped_gaps=result.n_dropped_gaps,
+            dropped_dups=result.n_dropped_dups,
+            theta=round(result.theta, 6), meff=round(result.meff, 4),
+            pairs=len(R), score=cfg.score, output=out_path, cached=False)
+    log.emit()
+    return out_path
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = GDCAConfig(
+        pseudocount=args.pseudocount,
+        theta=_parse_theta(args.theta),
+        max_gap_fraction=args.max_gap_fraction,
+        score=args.score,
+        min_separation=args.min_separation,
+        remove_dups=args.remove_dups,
+        dtype=args.dtype,
+        force_fallback=args.fallback,
+    )
+    t0 = time.perf_counter()
+    n_err = 0
+    for path in args.inputs:
+        try:
+            run_family(path, cfg, args.output_dir, args.top_k,
+                       args.cache_dir, args.quiet)
+        except (ValueError, OSError) as e:
+            n_err += 1
+            print(json.dumps({"family": path, "error": str(e)}),
+                  file=sys.stderr, flush=True)
+    if not args.quiet:
+        print(json.dumps({
+            "batch": len(args.inputs), "errors": n_err,
+            "total_s": round(time.perf_counter() - t0, 3),
+        }), file=sys.stderr, flush=True)
+    return 1 if n_err else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

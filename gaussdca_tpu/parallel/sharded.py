@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gaussdca_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from gaussdca_tpu.score.apc import correct_apc
-from gaussdca_tpu.score.di import _di_row, site_cholesky
+from gaussdca_tpu.score.di import di_score
 from gaussdca_tpu.score.frob import _fn_row
 from gaussdca_tpu.solve.cholesky import spd_inverse
 from gaussdca_tpu.stats import reweight
@@ -104,11 +104,10 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
         J4 = _constrain(mJ.reshape(N, s, N, s),
                         NamedSharding(mesh, P(MODEL_AXIS, None, None, None)))
         if score == "DI":
-            Lsite = site_cholesky(Crep, q)
-            S = jax.vmap(lambda a: _di_row(a, Lsite, q))((J4, Lsite))
+            S = di_score(mJ, Crep, q)
         else:
             S = jax.vmap(lambda row: _fn_row(row, q))(J4)
-        S = S * (1.0 - jnp.eye(N, dtype=dtype))
+            S = S * (1.0 - jnp.eye(N, dtype=dtype))
         S = correct_apc(S)
         return _constrain(S, repl), th, Meff
 

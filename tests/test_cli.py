@@ -1,0 +1,88 @@
+"""CLI batch runner: outputs, logging, caching, error handling."""
+
+import json
+import os
+
+import pytest
+
+from gaussdca_tpu.cli import main
+
+
+@pytest.fixture
+def small(golden_dir):
+    return os.path.join(golden_dir, "small.fasta.gz")
+
+
+def read_rank(path):
+    out = {}
+    for line in open(path):
+        t = line.split()
+        assert len(t) == 3
+        out[(int(t[0]), int(t[1]))] = float(t[2])
+    return out
+
+
+def test_cli_single_family(small, tmp_path, capsys):
+    rc = main([small, "-o", str(tmp_path)])
+    assert rc == 0
+    out = tmp_path / "small.rank.txt"
+    assert out.exists()
+    d = read_rank(out)
+    assert len(d) == 1176
+    log = capsys.readouterr().err.strip().splitlines()
+    rec = json.loads(log[0])
+    assert rec["M"] == 106 and rec["N"] == 53 and rec["q"] == 21
+    assert rec["meff"] == pytest.approx(92.0)
+    assert "pipeline" in rec["timings_s"]
+
+
+def test_cli_golden_output(small, tmp_path, golden_dir):
+    main([small, "-o", str(tmp_path), "--quiet"])
+    got = read_rank(tmp_path / "small.rank.txt")
+    want = read_rank(os.path.join(golden_dir, "small.FNRout.txt"))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-6)
+
+
+def test_cli_top_k(small, tmp_path):
+    main([small, "-o", str(tmp_path), "--top-k", "25", "--quiet"])
+    assert len(read_rank(tmp_path / "small.rank.txt")) == 25
+
+
+def test_cli_cache_hit(small, tmp_path, capsys):
+    cache = str(tmp_path / "cache")
+    out = str(tmp_path / "out")
+    main([small, "-o", out, "--cache-dir", cache])
+    first = capsys.readouterr().err
+    main([small, "-o", out, "--cache-dir", cache])
+    second = capsys.readouterr().err
+    rec1 = json.loads(first.strip().splitlines()[0])
+    rec2 = json.loads(second.strip().splitlines()[0])
+    assert rec1["cached"] is False
+    assert rec2["cached"] is True
+    # different params -> cache miss
+    main([small, "-o", out, "--cache-dir", cache, "--min-separation", "4"])
+    rec3 = json.loads(capsys.readouterr().err.strip().splitlines()[0])
+    assert rec3["cached"] is False
+    assert rec3["pairs"] == 1225
+
+
+def test_cli_batch_with_error(small, tmp_path, capsys):
+    rc = main([small, str(tmp_path / "missing.fa"), "-o", str(tmp_path)])
+    assert rc == 1
+    lines = capsys.readouterr().err.strip().splitlines()
+    recs = [json.loads(line) for line in lines]
+    assert any("error" in r for r in recs)
+    batch = recs[-1]
+    assert batch["batch"] == 2 and batch["errors"] == 1
+
+
+def test_cli_di_mode(small, tmp_path, golden_dir):
+    main([small, "-o", str(tmp_path), "--quiet", "--score", "DI",
+          "--pseudocount", "0.2", "--remove-dups"])
+    got = read_rank(tmp_path / "small.rank.txt")
+    want = read_rank(os.path.join(golden_dir, "small.DIRout.txt"))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-6)
