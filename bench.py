@@ -38,7 +38,7 @@ def bench_tpu(M=32768, N=384, q=21, reps=5):
     thresh = jnp.asarray(float(int(0.2 * N)), jnp.float32)
 
     def run(Zi):
-        rs, _ = distance.row_stats_pallas(Zi, thresh, q)
+        rs, _ = distance.row_stats_sym_pallas(Zi, thresh, q)
         return float(np.asarray(rs[0]))
 
     run(Zs[0])  # compile
@@ -81,8 +81,8 @@ def main():
     value = bench_tpu()
     baseline = bench_cpu_baseline()
     print(json.dumps({
-        "metric": "all-pairs reweighting throughput (streaming Pallas "
-                  "row-stats kernel, M=32768 N=384 q=21)",
+        "metric": "all-pairs reweighting throughput (symmetry-halved int8 "
+                  "Pallas row-stats kernel, M=32768 N=384 q=21)",
         "value": round(value, 1),
         "unit": "seq-pairs/s",
         "vs_baseline": round(value / baseline, 2),

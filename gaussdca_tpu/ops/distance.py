@@ -20,11 +20,23 @@ Two implementations:
 - ``match_counts_pallas``: tiled Pallas kernel that never materializes E:
   each (TM, TN) grid cell holds the raw token tiles in VMEM, expands
   one-hot per symbol on the fly, and accumulates q partial [TM, N] x
-  [N, TN] matmuls into an f32 tile. HBM traffic drops from O(M*N*q) to
+  [N, TN] matmuls into an int32 tile. HBM traffic drops from O(M*N*q) to
   O(M*N) + O(M^2) output.
 
-Both pad M up to tile multiples with token 0, which matches no valid state
-(states are 1..q), so padded rows simply score 0 and are sliced away.
+All Pallas kernels here use int8 one-hot operands with int32 MXU
+accumulation: counts are exact in any dtype, and the v5e MXU runs s8xs8
+at 2x the bf16 rate (measured 1.6x end-to-end on the row-stats kernel).
+
+``row_stats_sym_pallas`` additionally halves the FLOPs via the match
+symmetry D = D^T: the grid enumerates each unordered tile pair exactly
+once using the circulant covering b = (i + j') mod T, j' = 0..ceil(T/2)
+(for even T the j' = T/2 column is computed only for i < T/2). Each cell
+emits its tile's row- and column-reductions; a cheap segment-sum outside
+the kernel folds the column partials back into the row accumulators.
+
+All kernels pad M up to tile multiples with token 0, which matches no
+valid state (states are 1..q), so padded rows simply score 0 and are
+sliced away.
 """
 
 from __future__ import annotations
@@ -52,22 +64,27 @@ def match_counts_mxu(Z: jax.Array, q: int = 21) -> jax.Array:
     return D.astype(jnp.int32)
 
 
-def _match_kernel(za_ref, zb_ref, out_ref, *, q: int):
-    """One (TM, TN) tile: accumulate one-hot matmuls over the q symbols."""
-    # Widen to i32 for the comparisons: Mosaic/v5e has no 8-bit vector cmp.
-    za = za_ref[:].astype(jnp.int32)  # [TM, N]
-    zb = zb_ref[:].astype(jnp.int32)  # [TN, N]
+def _match_tile(za, zb, q: int) -> jax.Array:
+    """[TM, TN] int32 match counts of two token tiles via q s8 matmuls."""
+    # Widen to i32 for the comparisons: Mosaic/v5e has no 8-bit vector cmp;
+    # the one-hot operands themselves go to the MXU as int8.
+    za = za.astype(jnp.int32)
+    zb = zb.astype(jnp.int32)
 
     def body(c, acc):
-        a = (za == c).astype(jnp.bfloat16)
-        b = (zb == c).astype(jnp.bfloat16)
+        a = (za == c).astype(jnp.int8)
+        b = (zb == c).astype(jnp.int8)
         return acc + jax.lax.dot_general(
             a, b, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.int32)
 
-    acc = jnp.zeros(out_ref.shape, jnp.float32)
-    acc = jax.lax.fori_loop(1, q + 1, body, acc, unroll=True)
-    out_ref[:] = acc.astype(jnp.int32)
+    acc = jnp.zeros((za.shape[0], zb.shape[0]), jnp.int32)
+    return jax.lax.fori_loop(1, q + 1, body, acc, unroll=True)
+
+
+def _match_kernel(za_ref, zb_ref, out_ref, *, q: int):
+    """One (TM, TN) tile: accumulate one-hot matmuls over the q symbols."""
+    out_ref[:] = _match_tile(za_ref[:], zb_ref[:], q)
 
 
 def _row_stats_kernel(thresh_ref, za_ref, zb_ref, sum_ref, cnt_ref,
@@ -80,19 +97,7 @@ def _row_stats_kernel(thresh_ref, za_ref, zb_ref, sum_ref, cnt_ref,
     i only are revisited, the standard Pallas reduction pattern).
     """
     j = pl.program_id(1)
-    za = za_ref[:].astype(jnp.int32)
-    zb = zb_ref[:].astype(jnp.int32)
-
-    def body(c, acc):
-        a = (za == c).astype(jnp.bfloat16)
-        b = (zb == c).astype(jnp.bfloat16)
-        return acc + jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    tile = jax.lax.fori_loop(
-        1, q + 1, body,
-        jnp.zeros((za.shape[0], zb.shape[0]), jnp.float32), unroll=True)
+    tile = _match_tile(za_ref[:], zb_ref[:], q).astype(jnp.float32)
 
     rs = jnp.sum(tile, axis=1, keepdims=True)                  # [TM, 1]
     thresh = thresh_ref[0, 0]
@@ -162,6 +167,119 @@ def row_stats_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21, *,
         interpret=interpret,
     )(th, Zp, Zp)
     return rowsum[:M, 0], below[:M, 0]
+
+
+def _row_stats_sym_kernel(thresh_ref, za_ref, zb_ref,
+                          rs_row_ref, cnt_row_ref, rs_col_ref, cnt_col_ref,
+                          *, q: int, n_valid: int, T: int):
+    """Grid cell (i, j'): tile (i, b = (i+j') mod T) of the match matrix.
+
+    The tile's row reductions (credited to block i) accumulate in place
+    across j' (block i is resident in VMEM for the whole inner loop); its
+    column reductions (credited to block b) land in slot j' of a [TM, J]
+    per-block scratch output, folded into the row accumulators outside
+    the kernel. Coverage: j' = 0 is the diagonal tile (column partials
+    zeroed — the row reduction already counts every in-block pair from
+    both sides); for even T the j' = T/2 column pairs blocks
+    {i, i + T/2} twice, so the i >= T/2 half is masked to zero (its tile
+    is still computed — a 1/T overhead — keeping every write dense).
+    """
+    i = pl.program_id(0)
+    jp = pl.program_id(1)
+    J = rs_col_ref.shape[1]
+
+    tile = _match_tile(za_ref[:], zb_ref[:], q).astype(jnp.float32)
+    thresh = thresh_ref[0, 0]
+    near = ((n_valid - tile) < thresh).astype(jnp.float32)
+
+    if T % 2 == 0:
+        live = jnp.where((jp != T // 2) | (i < T // 2), 1.0, 0.0)
+    else:
+        live = 1.0
+    rs = jnp.sum(tile, axis=1, keepdims=True) * live          # [TM, 1]
+    cnt = jnp.sum(near, axis=1, keepdims=True) * live
+    col_live = live * jnp.where(jp == 0, 0.0, 1.0)
+    rs_c = jnp.sum(tile, axis=0)[:, None] * col_live          # [TM, 1]
+    cnt_c = jnp.sum(near, axis=0)[:, None] * col_live
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, rs_col_ref.shape, 1) == jp
+
+    @pl.when(jp == 0)
+    def _():
+        rs_row_ref[:] = rs
+        cnt_row_ref[:] = cnt
+        rs_col_ref[:] = jnp.zeros_like(rs_col_ref)
+        cnt_col_ref[:] = jnp.zeros_like(cnt_col_ref)
+
+    @pl.when(jp != 0)
+    def _():
+        rs_row_ref[:] = rs_row_ref[:] + rs
+        cnt_row_ref[:] = cnt_row_ref[:] + cnt
+        rs_col_ref[:] = jnp.where(slot, rs_c, rs_col_ref[:])
+        cnt_col_ref[:] = jnp.where(slot, cnt_c, cnt_col_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("q", "tile_m", "interpret"))
+def row_stats_sym_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21, *,
+                         tile_m: int = 512, interpret: bool = False):
+    """Symmetry-halved ``row_stats_pallas``: same contract, ~2x fewer FLOPs.
+
+    Each unordered tile pair is computed once (circulant covering, see
+    ``_row_stats_sym_kernel``); the [M, M] match matrix never exists.
+    Returns ``(rowsum [M] f32, below [M] f32)`` identical to
+    ``row_stats_pallas``.
+    """
+    M, N = Z.shape
+    Mp = _round_up(max(M, tile_m), tile_m)
+    Np = _round_up(max(N, 128), 128)
+    Zp = jnp.zeros((Mp, Np), jnp.int8).at[:M, :N].set(Z.astype(jnp.int8))
+    th = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
+
+    T = Mp // tile_m
+    J = T // 2 + 1 if T % 2 == 0 else (T + 1) // 2
+    grid = (T, J)
+    kernel = functools.partial(_row_stats_sym_kernel, q=q, n_valid=N, T=T)
+    row_spec = pl.BlockSpec((tile_m, 1), lambda i, jp: (i, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((tile_m, J), lambda i, jp: (i, 0),
+                            memory_space=pltpu.VMEM)
+    row_shape = jax.ShapeDtypeStruct((Mp, 1), jnp.float32)
+    col_shape = jax.ShapeDtypeStruct((Mp, J), jnp.float32)
+    rs_row, cnt_row, rs_col, cnt_col = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, jp: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_m, Np), lambda i, jp: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, Np), lambda i, jp: ((i + jp) % T, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(row_spec, row_spec, col_spec, col_spec),
+        out_shape=(row_shape, row_shape, col_shape, col_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * (Mp // 2 + tile_m) * Np * q,
+            bytes_accessed=2 * T * J * tile_m * Np + 16 * Mp * J,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(th, Zp, Zp)
+
+    # Fold slot jp's column partials (tile (i, b=(i+jp)%T)) into block b.
+    b_idx = (jnp.arange(T)[:, None] + jnp.arange(J)[None, :]) % T  # [T, J]
+    seg = b_idx.reshape(-1)
+
+    def fold(row_part, col_part):
+        out = row_part.reshape(T, tile_m)
+        flat = col_part.reshape(T, tile_m, J).transpose(0, 2, 1)
+        out = out + jax.ops.segment_sum(
+            flat.reshape(T * J, tile_m), seg, num_segments=T)
+        return out.reshape(Mp)
+
+    rowsum = fold(rs_row, rs_col)
+    below = fold(cnt_row, cnt_col)
+    return rowsum[:M], below[:M]
 
 
 @functools.partial(jax.jit,

@@ -60,6 +60,39 @@ def test_streaming_weights_match_dense(theta):
     np.testing.assert_allclose(float(th1), float(th0), rtol=1e-12)
 
 
+@pytest.mark.parametrize("M,tile", [
+    (40, 128),    # T = 1 (single diagonal tile)
+    (300, 128),   # T = 3 (odd: clean circulant covering)
+    (513, 128),   # T = 5 odd, with padding rows
+    (520, 128),   # T = 5
+    (1000, 128),  # T = 8 (even: the half-column special case)
+])
+def test_row_stats_sym_matches_dense(M, tile):
+    rng = np.random.default_rng(M)
+    N, q = 37, 21
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    D = np.asarray(reweight.match_counts(Z))
+    thresh = 9.0
+    rowsum, below = distance.row_stats_sym_pallas(
+        Z, jnp.float32(thresh), q, tile_m=tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
+    np.testing.assert_allclose(np.asarray(below), ((N - D) < thresh).sum(1))
+
+
+@pytest.mark.parametrize("theta", [0.0, 0.3, "auto"])
+def test_streaming_weights_sym_kernel(theta):
+    rng = np.random.default_rng(11)
+    Z = jnp.asarray(rng.integers(1, 22, size=(310, 29), dtype=np.int8))
+    W0, Meff0, th0 = reweight.compute_weights(Z, theta)
+    W1, Meff1, th1 = reweight.compute_weights_streaming(
+        Z, theta, 21,
+        lambda z, t, q: distance.row_stats_sym_pallas(
+            z, t, q, tile_m=128, interpret=True))
+    np.testing.assert_allclose(np.asarray(W1), np.asarray(W0), rtol=1e-12)
+    np.testing.assert_allclose(float(Meff1), float(Meff0), rtol=1e-12)
+    np.testing.assert_allclose(float(th1), float(th0), rtol=1e-12)
+
+
 def test_row_stats_values():
     rng = np.random.default_rng(8)
     M, N, q = 40, 17, 6
