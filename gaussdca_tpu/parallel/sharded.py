@@ -9,9 +9,9 @@ Scale-out design (new — the reference is single-process, SURVEY.md 2.9):
 - the N*s statistical dimension is MODEL-parallel: two-site frequencies,
   pseudocount/covariance assembly, coupling blocks and per-pair scores are
   row-sharded over the ``model`` axis,
-- the dense Cholesky solve is replicated for now (XLA has no distributed
-  Cholesky; a mesh-blocked right-looking factorization is the planned
-  upgrade for N*s >> 10^3 — solve/blocked.py).
+- the dense Cholesky solve replicates below ``solve_min_dim`` (XLA has no
+  distributed Cholesky) and switches to the mesh-blocked factorization +
+  column-sharded triangular solves of solve/blocked.py above it.
 
 Everything is one jitted program; collectives are inserted by XLA from
 sharding constraints, never hand-written.
@@ -30,6 +30,7 @@ from gaussdca_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from gaussdca_tpu.score.apc import correct_apc
 from gaussdca_tpu.score.di import di_score
 from gaussdca_tpu.score.frob import _fn_row
+from gaussdca_tpu.solve.blocked import spd_inverse_blocked
 from gaussdca_tpu.solve.cholesky import spd_inverse
 from gaussdca_tpu.stats import reweight
 from gaussdca_tpu.stats.frequencies import one_hot_reduced
@@ -41,7 +42,8 @@ def _constrain(x, spec):
 
 
 def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
-                      theta_is_auto: bool, dtype, m_true: int = None):
+                      theta_is_auto: bool, dtype, m_true: int = None,
+                      solve_min_dim: int = 4096, solve_block: int = 1024):
     """Build the jitted sharded pipeline for a fixed mesh/config.
 
     Returns ``fn(Z, pc, theta_value) -> (S, theta, Meff)`` with Z expected
@@ -49,6 +51,8 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
     reshard as declared). ``m_true`` is the unpadded sequence count when Z
     carries token-0 padding rows (they match no state, so their only
     footprint — a spurious unit weight — is masked out here).
+    ``solve_min_dim``: N*s at or above which the covariance inverse uses
+    the mesh-blocked distributed solve instead of the replicated one.
     """
     data2 = NamedSharding(mesh, P(DATA_AXIS, None))
     data1 = NamedSharding(mesh, P(DATA_AXIS))
@@ -96,9 +100,14 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
         Pi, Pij = add_pseudocount(Pi, Pij, pc, q)
         C = _constrain(compute_C(Pi, Pij), model2)
 
-        # --- solve: replicated dense Cholesky inverse ---------------------
+        # --- solve: replicated below the threshold, mesh-blocked above ---
         Crep = _constrain(C, repl)
-        mJ = spd_inverse(Crep)
+        Ns = C.shape[0]
+        if Ns >= solve_min_dim:
+            blk = min(solve_block, Ns)
+            mJ = spd_inverse_blocked(Crep, block=blk, mesh=mesh)
+        else:
+            mJ = spd_inverse(Crep)
 
         # --- scores: rows sharded over model ------------------------------
         J4 = _constrain(mJ.reshape(N, s, N, s),
@@ -119,7 +128,8 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
 
 
 def run_sharded(mesh: Mesh, Z, pc: float, theta: Union[str, float], *,
-                q: int, score: str = "frob", dtype=jnp.float32):
+                q: int, score: str = "frob", dtype=jnp.float32,
+                solve_min_dim: int = 4096, solve_block: int = 1024):
     """Convenience wrapper: pad/place Z on the mesh and run one step."""
     theta_is_auto = isinstance(theta, str)
     Z = jnp.asarray(Z)
@@ -128,7 +138,9 @@ def run_sharded(mesh: Mesh, Z, pc: float, theta: Union[str, float], *,
     Mp = -(-M // dp) * dp
     fn = sharded_scores_fn(mesh, q=q, score=score,
                            theta_is_auto=theta_is_auto, dtype=dtype,
-                           m_true=M if Mp != M else None)
+                           m_true=M if Mp != M else None,
+                           solve_min_dim=solve_min_dim,
+                           solve_block=solve_block)
     if Mp != M:
         Z = jnp.concatenate(
             [Z, jnp.zeros((Mp - M, Z.shape[1]), Z.dtype)], axis=0)

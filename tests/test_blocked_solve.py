@@ -1,0 +1,89 @@
+"""Mesh-blocked Cholesky / distributed SPD inverse vs the dense solver.
+
+The distributed solve must agree with the replicated one to factorization
+round-off — the same optimized-vs-fallback cross-check discipline the
+reference applies to its kernels (/root/reference/test/runtests.jl:78-86).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussdca_tpu.parallel import mesh as meshlib
+from gaussdca_tpu.solve.blocked import (blocked_cholesky, spd_inverse_blocked,
+                                        tri_inverse_apply)
+from gaussdca_tpu.solve.cholesky import spd_inverse
+
+
+def _spd(n, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    C = A @ A.T / n + 0.5 * np.eye(n)
+    return jnp.asarray(C, dtype)
+
+
+@pytest.mark.parametrize("n,block", [(64, 64), (96, 32), (100, 32),
+                                     (200, 64), (33, 16)])
+def test_blocked_cholesky_matches_dense(n, block):
+    C = _spd(n, seed=n)
+    L0 = np.asarray(jnp.linalg.cholesky(C))
+    L1 = np.asarray(blocked_cholesky(C, block=block))
+    np.testing.assert_allclose(L1, L0, rtol=1e-11, atol=1e-12)
+
+
+@pytest.mark.parametrize("n,block", [(100, 32), (256, 64)])
+def test_spd_inverse_blocked_no_mesh(n, block):
+    C = _spd(n, seed=3 * n)
+    got = np.asarray(spd_inverse_blocked(C, block=block))
+    want = np.asarray(spd_inverse(C))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("n,block", [(96, 32), (100, 16), (264, 64)])
+def test_spd_inverse_blocked_on_mesh(n, block):
+    C = _spd(n, seed=7 * n)
+    m = meshlib.make_mesh(8, shape=(4, 2))
+    got = np.asarray(spd_inverse_blocked(C, block=block, mesh=m))
+    want = np.asarray(spd_inverse(C))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_tri_inverse_apply_pads_columns():
+    # n not divisible by the 8-way column sharding
+    n = 67
+    C = _spd(n, seed=5)
+    L = jnp.linalg.cholesky(C)
+    m = meshlib.make_mesh(8, shape=(4, 2))
+    got = np.asarray(tri_inverse_apply(L, mesh=m))
+    want = np.asarray(spd_inverse(C))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("score", ["frob", "DI"])
+def test_sharded_pipeline_with_blocked_solve(score):
+    """Force the blocked solve in the full sharded pipeline (threshold 1)
+    and check it still matches the single-device scores."""
+    from gaussdca_tpu.api import scores_pipeline
+    from gaussdca_tpu.parallel.sharded import run_sharded
+
+    q = 8
+    rng = np.random.default_rng(17)
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(64, 24), dtype=np.int8))
+    dtype = jnp.float64
+
+    S0, th0, meff0 = scores_pipeline(
+        Z, jnp.asarray(0.5, dtype), jnp.asarray(0.2, dtype),
+        q=q, score=score, theta_is_auto=False, dtype=dtype,
+        use_pallas=False)
+
+    m = meshlib.make_mesh(8, shape=(4, 2))
+    S1, th1, meff1 = run_sharded(m, Z, 0.5, 0.2, q=q, score=score,
+                                 dtype=dtype, solve_min_dim=1,
+                                 solve_block=64)
+    assert float(meff1) == pytest.approx(float(meff0), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S0),
+                               rtol=1e-8, atol=1e-11)
