@@ -76,7 +76,14 @@ def scores_pipeline(Z, pc, theta_value, *, q: int, score: str,
             Z, theta, q, row_stats_fn, dtype=dtype)
     else:
         W, Meff, th = reweight.compute_weights(Z, theta, dtype=dtype)
-    Pi_t, Pij_t, Meff = weighted_frequencies(Z, W, q, dtype=dtype)
+    # Stream the frequency accumulation once the one-hot would exceed
+    # ~1 GB (keeps 1e5+-sequence MSAs on a single chip).
+    M, N = Z.shape
+    e_bytes = M * N * (q - 1) * jnp.dtype(dtype).itemsize
+    m_chunk = 0 if e_bytes <= 2 ** 30 else max(
+        256, (2 ** 30) // (N * (q - 1) * jnp.dtype(dtype).itemsize))
+    Pi_t, Pij_t, Meff = weighted_frequencies(Z, W, q, dtype=dtype,
+                                             m_chunk=m_chunk)
     Pi, Pij = add_pseudocount(Pi_t, Pij_t, pc, q)
     C = compute_C(Pi, Pij)
     mJ = spd_inverse(C)

@@ -16,6 +16,16 @@ expansion E [M, N*s] (zero row for the gauge state):
 product reproduces the diagonal blocks exactly (1[Z=a]*1[Z=b] = delta_ab),
 so no fixup pass is needed. Under data-parallel sharding of M this becomes
 a psum-reduced local matmul (parallel/sharded.py).
+
+Why no Pallas kernel here (unlike ops/distance.py): the weights W carry
+~7 significant digits, so the contraction needs true f32 matmuls —
+which on the MXU are bf16 multi-pass, the same thing XLA emits for
+``precision=HIGHEST``. Fusing the one-hot expansion into a custom kernel
+would only save the E read-back (~tens of ms at M=1e5), while the stage
+is compute-bound; the real scaling lever is memory, handled below by
+``m_chunk``: a lax.scan over sequence chunks accumulates Pi/Pij in
+O(m_chunk * N * s) working memory, so 1e5+ sequence MSAs run single-chip
+without ever materializing the full [M, N*s] one-hot.
 """
 
 from __future__ import annotations
@@ -42,12 +52,41 @@ def weighted_frequencies(
     *,
     dtype=jnp.float64,
     precision=jax.lax.Precision.HIGHEST,
+    m_chunk: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(Pi_true [N*s], Pij_true [N*s, N*s], Meff) from tokens and weights."""
-    E = one_hot_reduced(Z, q, dtype)
+    """(Pi_true [N*s], Pij_true [N*s, N*s], Meff) from tokens and weights.
+
+    ``m_chunk > 0`` streams the accumulation over sequence chunks of that
+    size (peak memory O(m_chunk * N * s) instead of O(M * N * s)); 0
+    materializes the one-hot in one shot. Results are identical up to
+    f.p. summation order.
+    """
+    M, N = Z.shape
+    s = q - 1
     W = W.astype(dtype)
     Meff = jnp.sum(W)
-    Pi = jnp.einsum("m,mx->x", W, E, precision=precision) / Meff
-    Pij = jnp.einsum("mx,my->xy", E * W[:, None], E,
-                     precision=precision) / Meff
-    return Pi, Pij, Meff
+    if m_chunk <= 0 or m_chunk >= M:
+        E = one_hot_reduced(Z, q, dtype)
+        Pi = jnp.einsum("m,mx->x", W, E, precision=precision) / Meff
+        Pij = jnp.einsum("mx,my->xy", E * W[:, None], E,
+                         precision=precision) / Meff
+        return Pi, Pij, Meff
+
+    pad = (-M) % m_chunk
+    Zp = jnp.pad(Z, ((0, pad), (0, 0)))          # token 0: zero one-hot row
+    Wp = jnp.pad(W, (0, pad))
+    Zc = Zp.reshape(-1, m_chunk, N)
+    Wc = Wp.reshape(-1, m_chunk)
+
+    def step(carry, chunk):
+        pi, pij = carry
+        zc, wc = chunk
+        Ec = one_hot_reduced(zc, q, dtype)
+        pi = pi + jnp.einsum("m,mx->x", wc, Ec, precision=precision)
+        pij = pij + jnp.einsum("mx,my->xy", Ec * wc[:, None], Ec,
+                               precision=precision)
+        return (pi, pij), None
+
+    init = (jnp.zeros((N * s,), dtype), jnp.zeros((N * s, N * s), dtype))
+    (Pi, Pij), _ = jax.lax.scan(step, init, (Zc, Wc))
+    return Pi / Meff, Pij / Meff, Meff

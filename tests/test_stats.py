@@ -133,3 +133,22 @@ def test_covariance():
     Pij = jnp.array([[0.2, 0.1], [0.1, 0.3]])
     C = np.asarray(compute_C(Pi, Pij))
     np.testing.assert_allclose(C, [[0.16, 0.04], [0.04, 0.21]])
+
+
+def test_weighted_frequencies_chunked_matches_dense():
+    import jax.numpy as jnp
+    import numpy as np
+    from gaussdca_tpu.stats.frequencies import weighted_frequencies
+
+    rng = np.random.default_rng(23)
+    M, N, q = 57, 11, 6
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    W = jnp.asarray(rng.uniform(0.1, 1.0, size=M))
+    Pi0, Pij0, Meff0 = weighted_frequencies(Z, W, q)
+    for chunk in (8, 16, 57, 100):
+        Pi1, Pij1, Meff1 = weighted_frequencies(Z, W, q, m_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(Pi1), np.asarray(Pi0),
+                                   rtol=1e-13, atol=1e-15)
+        np.testing.assert_allclose(np.asarray(Pij1), np.asarray(Pij0),
+                                   rtol=1e-13, atol=1e-15)
+        assert float(Meff1) == float(Meff0)
