@@ -14,8 +14,11 @@ Reproduces the ingest contract the reference consumes from DCAUtils'
 
 The output is sequence-major ``[M, N]`` (the reference is position-major
 ``N x M``; sequence-major is the natural layout for the TPU pipeline where
-M is the data-parallel axis). Parsing is pure NumPy on the host — tokens are
-transferred to device once, downstream of dedup.
+M is the data-parallel axis). Parsing happens on the host: a native C++
+parser (native/fasta_native.cpp, loaded via io/native.py) when available,
+else the pure-NumPy implementation here — the two are cross-validated in
+tests/test_native_io.py. Tokens are transferred to device once,
+downstream of dedup.
 """
 
 from __future__ import annotations
@@ -109,15 +112,25 @@ def _is_gzip(path: str) -> bool:
     return magic == b"\x1f\x8b"
 
 
-def read_fasta_alignment(path: str, max_gap_fraction: float) -> MSA:
+def read_fasta_alignment(path: str, max_gap_fraction: float, *,
+                         use_native: bool = True) -> MSA:
     """Parse a (gzipped) FASTA alignment into an MSA token matrix.
 
     Matches the DCAUtils ``read_fasta_alignment(filename, max_gap_fraction)``
     contract consumed at src/GaussDCA.jl:20 (see module docstring), except
-    the output is sequence-major [M, N].
+    the output is sequence-major [M, N]. Uses the native C++ parser when
+    available (``use_native=False`` or GDCA_NO_NATIVE=1 forces NumPy).
     """
     if not os.path.isfile(path):
         raise ValueError(f"cannot open file {path}")
+
+    if use_native:
+        from gaussdca_tpu.io import native
+        parsed = native.parse_fasta(path, max_gap_fraction)
+        if parsed is not None:
+            tokens, headers, q, n_dropped = parsed
+            return MSA(tokens=tokens, headers=headers, q=q,
+                       n_dropped_gaps=n_dropped)
 
     records = _read_records(path)
 

@@ -1,0 +1,137 @@
+"""ctypes bindings for the native C++ FASTA parser (native/fasta_native.cpp).
+
+The reference's ingest is compiled Julia; the analog here is a small C++
+library (zlib + tokenizer) loaded via ctypes — no pybind11 dependency.
+The shared object is built lazily with g++ on first use and cached next
+to the source; any failure (no compiler, no zlib, unreadable cache)
+degrades silently to the pure-NumPy parser in io/fasta.py, which is also
+the behavior under ``GDCA_NO_NATIVE=1``.
+
+Parity between the two parsers is pinned by tests/test_native_io.py on
+both bundled reference alignments and synthetic edge cases.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native",
+    "fasta_native.cpp")
+_SO_NAME = "_fasta_native.so"
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _build(src: str, out: str) -> bool:
+    try:
+        r = subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-lz",
+             "-o", out],
+            capture_output=True, timeout=120)
+        return r.returncode == 0 and os.path.exists(out)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def _so_path() -> Optional[str]:
+    """Locate or build the shared library; None if unavailable."""
+    if not os.path.exists(_SRC):
+        return None
+    cand = os.path.join(os.path.dirname(_SRC), _SO_NAME)
+    if os.path.exists(cand) and os.path.getmtime(cand) >= \
+            os.path.getmtime(_SRC):
+        return cand
+    # build into the source dir if writable, else a per-user cache
+    targets = [cand]
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "gaussdca_tpu")
+    targets.append(os.path.join(cache, _SO_NAME))
+    for out in targets:
+        try:
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+        except OSError:
+            continue
+        if _build(_SRC, out):
+            return out
+    return None
+
+
+def _load():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if os.environ.get("GDCA_NO_NATIVE"):
+            _lib_failed = True
+            return None
+        path = _so_path()
+        if path is None:
+            _lib_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            _lib_failed = True
+            return None
+        lib.gdca_parse.restype = ctypes.c_void_p
+        lib.gdca_parse.argtypes = [ctypes.c_char_p, ctypes.c_double]
+        lib.gdca_msa_error.restype = ctypes.c_char_p
+        lib.gdca_msa_error.argtypes = [ctypes.c_void_p]
+        for f in ("gdca_msa_m", "gdca_msa_n"):
+            getattr(lib, f).restype = ctypes.c_int64
+            getattr(lib, f).argtypes = [ctypes.c_void_p]
+        for f in ("gdca_msa_q", "gdca_msa_dropped"):
+            getattr(lib, f).restype = ctypes.c_int32
+            getattr(lib, f).argtypes = [ctypes.c_void_p]
+        lib.gdca_msa_tokens.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.gdca_msa_tokens.argtypes = [ctypes.c_void_p]
+        lib.gdca_msa_header.restype = ctypes.c_char_p
+        lib.gdca_msa_header.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.gdca_msa_free.restype = None
+        lib.gdca_msa_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_fasta(path: str, max_gap_fraction: float
+                ) -> Optional[Tuple[np.ndarray, List[str], int, int]]:
+    """(tokens [M,N] uint8, headers, q, n_dropped) or None if the native
+    library is unavailable. Raises ValueError on parse errors (same
+    messages as the NumPy parser)."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.gdca_parse(path.encode(), float(max_gap_fraction))
+    if not h:
+        return None
+    try:
+        err = lib.gdca_msa_error(h)
+        if err:
+            raise ValueError(err.decode())
+        M = lib.gdca_msa_m(h)
+        N = lib.gdca_msa_n(h)
+        buf = ctypes.cast(lib.gdca_msa_tokens(h),
+                          ctypes.POINTER(ctypes.c_uint8 * (M * N)))
+        tokens = np.frombuffer(buf.contents, dtype=np.uint8).reshape(
+            M, N).copy()
+        headers = [lib.gdca_msa_header(h, i).decode() for i in range(M)]
+        q = int(lib.gdca_msa_q(h))
+        dropped = int(lib.gdca_msa_dropped(h))
+        return tokens, headers, q, dropped
+    finally:
+        lib.gdca_msa_free(h)
