@@ -59,12 +59,30 @@ class GDCAResult:
 
 
 def scores_pipeline(Z, pc, theta_value, *, q: int, score: str,
-                    theta_is_auto: bool, dtype, use_pallas: bool):
+                    theta_is_auto: bool, dtype, use_pallas: bool,
+                    m_true: Optional[int] = None,
+                    precision: str = "highest"):
     """Device pipeline: tokens -> APC-corrected score matrix (+ theta, Meff).
 
     A plain traceable function (jit-wrapped by ``_scores_jit``; also the
     body the sharded multi-chip path and the graft entry point reuse).
+    ``m_true``: unpadded sequence count when Z carries token-0 padding
+    rows (bucketed batch mode — the padding is masked out of weights,
+    Meff, and the auto-theta pair count).
+    ``precision``: ambient matmul precision for every dot in the pipeline
+    — load-bearing on TPU, where the f32 default is single-pass bf16
+    multiplies: the Cholesky/score stages then lose ~3 significant
+    digits through cond(C) amplification (measured 0.024 max abs DI
+    error vs golden at "default", 1e-4 at "highest").
     """
+    with jax.default_matmul_precision(precision):
+        return _scores_body(Z, pc, theta_value, q=q, score=score,
+                            theta_is_auto=theta_is_auto, dtype=dtype,
+                            use_pallas=use_pallas, m_true=m_true)
+
+
+def _scores_body(Z, pc, theta_value, *, q, score, theta_is_auto, dtype,
+                 use_pallas, m_true):
     theta: Union[str, Any] = "auto" if theta_is_auto else theta_value
     row_stats_fn = None
     if use_pallas:
@@ -73,9 +91,10 @@ def scores_pipeline(Z, pc, theta_value, *, q: int, score: str,
     if row_stats_fn is not None:
         # Streaming path: O(M) memory, tiled MXU distance kernel.
         W, Meff, th = reweight.compute_weights_streaming(
-            Z, theta, q, row_stats_fn, dtype=dtype)
+            Z, theta, q, row_stats_fn, dtype=dtype, m_true=m_true)
     else:
-        W, Meff, th = reweight.compute_weights(Z, theta, dtype=dtype)
+        W, Meff, th = reweight.compute_weights(Z, theta, dtype=dtype,
+                                               m_true=m_true)
     # Stream the frequency accumulation once the one-hot would exceed
     # ~1 GB (keeps 1e5+-sequence MSAs on a single chip).
     M, N = Z.shape
@@ -98,12 +117,16 @@ def scores_pipeline(Z, pc, theta_value, *, q: int, score: str,
 @functools.partial(
     jax.jit,
     static_argnames=("q", "score", "theta_is_auto", "dtype_name",
-                     "use_pallas"))
+                     "use_pallas", "precision"))
 def _scores_jit(Z, pc, theta_value, *, q: int, score: str,
-                theta_is_auto: bool, dtype_name: str, use_pallas: bool):
+                theta_is_auto: bool, dtype_name: str, use_pallas: bool,
+                m_true=None, precision: str = "highest"):
+    # m_true is traced (None = no padding): one compiled graph serves a
+    # whole padding bucket, so batch mode recompiles only per (bucket, N).
     return scores_pipeline(
         Z, pc, theta_value, q=q, score=score, theta_is_auto=theta_is_auto,
-        dtype=jnp.dtype(dtype_name), use_pallas=use_pallas)
+        dtype=jnp.dtype(dtype_name), use_pallas=use_pallas, m_true=m_true,
+        precision=precision)
 
 
 def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig) -> GDCAResult:
@@ -115,7 +138,13 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig) -> GDCAResult:
         raise ValueError(f"parameter q={q} is too big (max {MAX_Q} is allowed)")
 
     dtype = cfg.resolve_dtype()
-    Z = jnp.asarray(msa.tokens)
+    tokens = msa.tokens
+    m_true = None
+    if cfg.m_bucket > 0 and tokens.shape[0] % cfg.m_bucket != 0:
+        pad = cfg.m_bucket - tokens.shape[0] % cfg.m_bucket
+        m_true = jnp.asarray(tokens.shape[0], jnp.int32)
+        tokens = np.pad(tokens, ((0, pad), (0, 0)))
+    Z = jnp.asarray(tokens)
     theta_is_auto = cfg.auto_theta
     theta_value = 0.0 if theta_is_auto else float(cfg.theta)
     S, th, meff = _scores_jit(
@@ -127,6 +156,8 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig) -> GDCAResult:
         theta_is_auto=theta_is_auto,
         dtype_name=dtype.name,
         use_pallas=not cfg.resolve_fallback(),
+        m_true=m_true,
+        precision=cfg.precision,
     )
     R = compute_ranking(np.asarray(S), cfg.min_separation)
     return GDCAResult(

@@ -14,11 +14,23 @@ Artifacts are content-addressed (sha256 of file bytes + the scoring
 config) in ``--cache-dir``: re-running a batch skips families whose
 inputs and parameters are unchanged — the checkpoint/resume analog for a
 pipeline whose unit of work is one stateless family (SURVEY.md section 5).
+
+Batch-throughput machinery (all new relative to the reference):
+
+- ``--m-bucket``: pads each family's sequence count to a bucket multiple
+  (masked out of the statistics) so families of similar depth share one
+  compiled program instead of recompiling per exact shape,
+- a persistent XLA compilation cache (``--compile-cache``, on by
+  default) that survives across batch invocations,
+- ingest prefetch: family i+1 parses on a host thread while family i
+  computes on the device,
+- ``--profile-dir``: wraps the batch in a ``jax.profiler`` trace.
 """
 
 from __future__ import annotations
 
 import argparse
+import concurrent.futures
 import hashlib
 import json
 import os
@@ -55,6 +67,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-dir", default=None,
                    help="content-addressed artifact cache; unchanged "
                         "(file, params) pairs are skipped")
+    p.add_argument("--m-bucket", type=int, default=0,
+                   help="pad sequence counts to this multiple so similar-"
+                        "depth families share compiled programs (0 = exact "
+                        "shapes)")
+    p.add_argument("--compile-cache", default="auto",
+                   help="persistent XLA compilation cache dir; 'auto' = "
+                        "~/.cache/gaussdca_tpu/xla, 'none' disables")
+    p.add_argument("--no-prefetch", action="store_true",
+                   help="disable threaded ingest prefetch")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the batch here")
     p.add_argument("--quiet", action="store_true",
                    help="suppress per-family JSON logs")
     return p
@@ -81,8 +104,12 @@ def _cache_key(path: str, cfg: GDCAConfig, top_k: Optional[int]) -> str:
 
 def run_family(path: str, cfg: GDCAConfig, out_dir: str,
                top_k: Optional[int], cache_dir: Optional[str],
-               quiet: bool) -> str:
-    """Process one family; returns the output path."""
+               quiet: bool, msa_future=None) -> str:
+    """Process one family; returns the output path.
+
+    ``msa_future``: optional concurrent.futures.Future holding the
+    prefetched ingest result (or raising its parse error).
+    """
     from gaussdca_tpu import api
     from gaussdca_tpu.io import fasta
     from gaussdca_tpu.score.rank import format_rank
@@ -109,7 +136,10 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
             return out_path
 
     with log.stage("ingest"):
-        msa = fasta.read_fasta_alignment(path, cfg.max_gap_fraction)
+        if msa_future is not None:
+            msa = msa_future.result()
+        else:
+            msa = fasta.read_fasta_alignment(path, cfg.max_gap_fraction)
     with log.stage("pipeline"):
         result = api.gdca_from_msa(msa, cfg)
     with log.stage("emit"):
@@ -131,6 +161,21 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
     return out_path
 
 
+def _setup_compile_cache(spec: str) -> None:
+    if spec == "none":
+        return
+    import jax
+    path = (os.path.join(os.path.expanduser("~"), ".cache",
+                         "gaussdca_tpu", "xla")
+            if spec == "auto" else spec)
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError):
+        pass  # cache is an optimization only
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     cfg = GDCAConfig(
@@ -142,17 +187,46 @@ def main(argv: Optional[List[str]] = None) -> int:
         remove_dups=args.remove_dups,
         dtype=args.dtype,
         force_fallback=args.fallback,
+        m_bucket=args.m_bucket,
     )
+    _setup_compile_cache(args.compile_cache)
+
+    profile_ctx = None
+    if args.profile_dir:
+        import jax
+        os.makedirs(args.profile_dir, exist_ok=True)
+        profile_ctx = jax.profiler.trace(args.profile_dir)
+        profile_ctx.__enter__()
+
+    from gaussdca_tpu.io import fasta
+
     t0 = time.perf_counter()
     n_err = 0
-    for path in args.inputs:
-        try:
-            run_family(path, cfg, args.output_dir, args.top_k,
-                       args.cache_dir, args.quiet)
-        except (ValueError, OSError) as e:
-            n_err += 1
-            print(json.dumps({"family": path, "error": str(e)}),
-                  file=sys.stderr, flush=True)
+    pool = None if args.no_prefetch else \
+        concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
+        futures = [None] * len(args.inputs)
+        if pool is not None and len(args.inputs) > 1:
+            futures[0] = pool.submit(fasta.read_fasta_alignment,
+                                     args.inputs[0], cfg.max_gap_fraction)
+        for k, path in enumerate(args.inputs):
+            if pool is not None and k + 1 < len(args.inputs):
+                futures[k + 1] = pool.submit(
+                    fasta.read_fasta_alignment, args.inputs[k + 1],
+                    cfg.max_gap_fraction)
+            try:
+                run_family(path, cfg, args.output_dir, args.top_k,
+                           args.cache_dir, args.quiet,
+                           msa_future=futures[k])
+            except (ValueError, OSError) as e:
+                n_err += 1
+                print(json.dumps({"family": path, "error": str(e)}),
+                      file=sys.stderr, flush=True)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
     if not args.quiet:
         print(json.dumps({
             "batch": len(args.inputs), "errors": n_err,

@@ -50,6 +50,11 @@ class GDCAConfig:
       (test/runtests.jl:79); also honored via the ``GDCA_FORCE_FALLBACK``
       environment variable.
     - ``precision``: jax.lax matmul precision for the MXU paths.
+    - ``m_bucket``: pad the sequence count up to a multiple of this before
+      jitting (0 = exact shapes). Padding rows are fully masked out of the
+      statistics; families whose depths land in the same bucket share one
+      compiled program — the recompilation-storm guard for batch mode
+      (SURVEY.md section 7.4).
     """
 
     pseudocount: float = 0.8
@@ -62,6 +67,7 @@ class GDCAConfig:
     dtype: Optional[Any] = None
     force_fallback: bool = False
     precision: str = "highest"
+    m_bucket: int = 0
 
     def __post_init__(self) -> None:
         self.validate()
@@ -96,6 +102,9 @@ class GDCAConfig:
             raise ValueError(
                 f"invalid min_separation value: {self.min_separation} "
                 "(must be >= 1)")
+        if not (isinstance(self.m_bucket, int) and self.m_bucket >= 0):
+            raise ValueError(
+                f"invalid m_bucket value: {self.m_bucket} (must be >= 0)")
 
     @property
     def auto_theta(self) -> bool:

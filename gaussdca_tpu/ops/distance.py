@@ -74,9 +74,14 @@ def _match_tile(za, zb, q: int) -> jax.Array:
     def body(c, acc):
         a = (za == c).astype(jnp.int8)
         b = (zb == c).astype(jnp.int8)
+        # precision pinned to DEFAULT: int8 counts are exact at any MXU
+        # precision, and an ambient default_matmul_precision("highest")
+        # context (api.scores_pipeline) would otherwise reach this dot —
+        # Mosaic rejects multi-pass precision on integer operands.
         return acc + jax.lax.dot_general(
             a, b, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT)
 
     acc = jnp.zeros((za.shape[0], zb.shape[0]), jnp.int32)
     return jax.lax.fori_loop(1, q + 1, body, acc, unroll=True)

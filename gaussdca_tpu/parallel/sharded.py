@@ -60,6 +60,12 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
     repl = NamedSharding(mesh, P())
 
     def fn(Z, pc, theta_value):
+        # HIGHEST matmul precision throughout: the TPU f32 default is
+        # single-pass bf16, which costs ~3 digits through the solve.
+        with jax.default_matmul_precision("highest"):
+            return _fn_body(Z, pc, theta_value)
+
+    def _fn_body(Z, pc, theta_value):
         M, N = Z.shape
         Mt = M if m_true is None else m_true
 

@@ -94,21 +94,44 @@ def compute_weights(
     *,
     dtype=jnp.float64,
     match_counts_fn=None,
+    m_true: int = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(W, Meff, resolved_theta) for a token matrix Z [M, N].
 
     ``theta`` is "auto" or a real in [0, 1] (static: selects the traced
     graph). ``match_counts_fn`` lets the TPU path inject the Pallas kernel.
+    ``m_true``: unpadded sequence count (a Python int or traced scalar —
+    traced keeps one compiled graph across a padding bucket) when Z
+    carries token-0 padding rows. They match nothing — not even
+    themselves — so their only footprint is a spurious unit weight and
+    the pair count, both fixed up here.
     """
-    _, N = Z.shape
+    M, N = Z.shape
     counts = (match_counts_fn or match_counts)(Z)
+    if m_true is not None:
+        # Raw token comparison makes token-0 padding rows match EACH OTHER
+        # at every position (0 == 0) — unlike the one-hot kernels, where
+        # token 0 matches no state. Zero out every pair involving a pad
+        # row so the global mean, thresholds, and weights see only real
+        # sequences.
+        mask = (jnp.arange(M) < jnp.asarray(m_true))
+        counts = counts * (mask[:, None] & mask[None, :])
     if isinstance(theta, str):
         if theta != "auto":
             raise ValueError(f"invalid theta: {theta}")
-        th = auto_theta(counts, N, dtype)
+        if m_true is not None:
+            Mt = jnp.asarray(m_true, dtype)
+            total = (jnp.sum(counts.astype(dtype)) - Mt * N) / 2.0
+            mfi = total / (N * (Mt * (Mt - 1) / 2.0))
+            th = jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
+        else:
+            th = auto_theta(counts, N, dtype)
     else:
         th = jnp.asarray(theta, dtype)
     W, Meff = weights_from_matches(counts, N, th, dtype)
+    if m_true is not None:
+        W = W * (jnp.arange(M) < jnp.asarray(m_true)).astype(dtype)
+        Meff = jnp.sum(W)
     return W, Meff, th
 
 
@@ -119,6 +142,7 @@ def compute_weights_streaming(
     row_stats_fn,
     *,
     dtype=jnp.float64,
+    m_true: int = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(W, Meff, resolved_theta) in O(M) memory via the row-stats kernel.
 
@@ -133,19 +157,26 @@ def compute_weights_streaming(
     sits exactly on an integer boundary.
     """
     M, N = Z.shape
+    Mt = M if m_true is None else jnp.asarray(m_true, dtype)
     if isinstance(theta, str):
         if theta != "auto":
             raise ValueError(f"invalid theta: {theta}")
         rowsum, _ = row_stats_fn(Z, jnp.asarray(0.0, jnp.float32), q)
-        total = (jnp.sum(rowsum, dtype=dtype) - M * N) / 2.0
-        mfi = total / (N * (M * (M - 1) / 2.0))
+        # padding rows contribute no matches, only the pair count changes
+        total = (jnp.sum(rowsum, dtype=dtype) - Mt * N) / 2.0
+        mfi = total / (N * (Mt * (Mt - 1) / 2.0))
         th = jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
     else:
         th = jnp.asarray(theta, dtype)
     thresh = jnp.floor(th.astype(dtype) * N)
     _, below = row_stats_fn(Z, thresh.astype(jnp.float32), q)
-    below = below.astype(dtype) - (thresh > 0).astype(dtype)  # drop self
+    # drop the self-match; clamp at 0 (token-0 padding rows match nothing,
+    # not even themselves, and would otherwise go to -1 -> W = inf)
+    below = jnp.maximum(
+        below.astype(dtype) - (thresh > 0).astype(dtype), 0.0)
     W = 1.0 / (1.0 + below)
+    if m_true is not None:
+        W = W * (jnp.arange(M) < jnp.asarray(m_true)).astype(dtype)
     return W, jnp.sum(W), th
 
 

@@ -76,3 +76,28 @@ def test_fallback_path_matches_golden(golden_dir, monkeypatch):
     r = gdca(os.path.join(golden_dir, "small.fasta.gz"),
              pseudocount=0.2, score="DI", remove_dups=True)
     assert_matches_golden(r, os.path.join(golden_dir, "small.DIRout.txt"))
+
+
+def test_bucketed_padding_matches_exact(golden_dir):
+    """m_bucket padding (masked rows) must not change the ranking at all,
+    including through the auto-theta global mean."""
+    import os
+    import numpy as np
+    from gaussdca_tpu import api
+    from gaussdca_tpu.core.config import GDCAConfig
+    from gaussdca_tpu.io import fasta
+
+    path = os.path.join(golden_dir, "small.fasta.gz")
+    msa = fasta.read_fasta_alignment(path, 0.9)
+    base = api.gdca_from_msa(msa, GDCAConfig(score="frob"))
+    padded = api.gdca_from_msa(msa, GDCAConfig(score="frob", m_bucket=64))
+    assert msa.M % 64 != 0  # the bucket actually pads (M=106)
+    assert base.theta == padded.theta
+    assert base.meff == padded.meff
+    # scores agree to summation-order noise (the padded reduction shape
+    # changes the f.p. reduction tree); pair sets are identical
+    want = {(i, j): s for i, j, s in base.ranking}
+    got = {(i, j): s for i, j, s in padded.ranking}
+    assert set(got) == set(want)
+    for k, s0 in want.items():
+        assert got[k] == pytest.approx(s0, rel=1e-9, abs=1e-11)
