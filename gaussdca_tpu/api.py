@@ -26,7 +26,8 @@ from gaussdca_tpu.io import fasta
 from gaussdca_tpu.score.apc import correct_apc
 from gaussdca_tpu.score.di import di_score
 from gaussdca_tpu.score.frob import frob_score
-from gaussdca_tpu.score.rank import Ranking, compute_ranking, printrank
+from gaussdca_tpu.score.rank import (Ranking, compute_ranking, printrank,
+                                     top_k_device)
 from gaussdca_tpu.solve.cholesky import spd_inverse
 from gaussdca_tpu.stats.frequencies import weighted_frequencies
 from gaussdca_tpu.stats.pseudocount import add_pseudocount, compute_C
@@ -83,34 +84,41 @@ def scores_pipeline(Z, pc, theta_value, *, q: int, score: str,
 
 def _scores_body(Z, pc, theta_value, *, q, score, theta_is_auto, dtype,
                  use_pallas, m_true):
+    # jax.named_scope per stage: profiler traces (--profile-dir) group ops
+    # under these labels, the observability the reference lacks entirely.
     theta: Union[str, Any] = "auto" if theta_is_auto else theta_value
     row_stats_fn = None
     if use_pallas:
         from gaussdca_tpu.ops import dispatch
         row_stats_fn = dispatch.kernels().get("row_stats_fn")
-    if row_stats_fn is not None:
-        # Streaming path: O(M) memory, tiled MXU distance kernel.
-        W, Meff, th = reweight.compute_weights_streaming(
-            Z, theta, q, row_stats_fn, dtype=dtype, m_true=m_true)
-    else:
-        W, Meff, th = reweight.compute_weights(Z, theta, dtype=dtype,
-                                               m_true=m_true)
-    # Stream the frequency accumulation once the one-hot would exceed
-    # ~1 GB (keeps 1e5+-sequence MSAs on a single chip).
-    M, N = Z.shape
-    e_bytes = M * N * (q - 1) * jnp.dtype(dtype).itemsize
-    m_chunk = 0 if e_bytes <= 2 ** 30 else max(
-        256, (2 ** 30) // (N * (q - 1) * jnp.dtype(dtype).itemsize))
-    Pi_t, Pij_t, Meff = weighted_frequencies(Z, W, q, dtype=dtype,
-                                             m_chunk=m_chunk)
-    Pi, Pij = add_pseudocount(Pi_t, Pij_t, pc, q)
-    C = compute_C(Pi, Pij)
-    mJ = spd_inverse(C)
-    if score == "DI":
-        S = di_score(mJ, C, q)
-    else:
-        S = frob_score(mJ, q)
-    S = correct_apc(S)
+    with jax.named_scope("reweight"):
+        if row_stats_fn is not None:
+            # Streaming path: O(M) memory, tiled MXU distance kernel.
+            W, Meff, th = reweight.compute_weights_streaming(
+                Z, theta, q, row_stats_fn, dtype=dtype, m_true=m_true)
+        else:
+            W, Meff, th = reweight.compute_weights(Z, theta, dtype=dtype,
+                                                   m_true=m_true)
+    with jax.named_scope("frequencies"):
+        # Stream the frequency accumulation once the one-hot would exceed
+        # ~1 GB (keeps 1e5+-sequence MSAs on a single chip).
+        M, N = Z.shape
+        e_bytes = M * N * (q - 1) * jnp.dtype(dtype).itemsize
+        m_chunk = 0 if e_bytes <= 2 ** 30 else max(
+            256, (2 ** 30) // (N * (q - 1) * jnp.dtype(dtype).itemsize))
+        Pi_t, Pij_t, Meff = weighted_frequencies(Z, W, q, dtype=dtype,
+                                                 m_chunk=m_chunk)
+    with jax.named_scope("covariance"):
+        Pi, Pij = add_pseudocount(Pi_t, Pij_t, pc, q)
+        C = compute_C(Pi, Pij)
+    with jax.named_scope("solve"):
+        mJ = spd_inverse(C)
+    with jax.named_scope("score"):
+        if score == "DI":
+            S = di_score(mJ, C, q)
+        else:
+            S = frob_score(mJ, q)
+        S = correct_apc(S)
     return S, th, Meff
 
 
@@ -129,8 +137,13 @@ def _scores_jit(Z, pc, theta_value, *, q: int, score: str,
         precision=precision)
 
 
-def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig) -> GDCAResult:
-    """Run the device pipeline + ranking on an already-ingested MSA."""
+def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
+                  top_k: Optional[int] = None) -> GDCAResult:
+    """Run the device pipeline + ranking on an already-ingested MSA.
+
+    ``top_k``: return only the k best pairs, selected on device
+    (jax.lax.top_k) so the full [N, N] score matrix never leaves the
+    chip."""
     if cfg.remove_dups:
         msa = fasta.remove_duplicate_sequences(msa)
     q = msa.q
@@ -159,7 +172,10 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig) -> GDCAResult:
         m_true=m_true,
         precision=cfg.precision,
     )
-    R = compute_ranking(np.asarray(S), cfg.min_separation)
+    if top_k is not None:
+        R = top_k_device(S, cfg.min_separation, top_k)
+    else:
+        R = compute_ranking(np.asarray(S), cfg.min_separation)
     return GDCAResult(
         ranking=R, M=msa.M, N=msa.N, q=q,
         theta=float(th), meff=float(meff),

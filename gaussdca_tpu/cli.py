@@ -141,9 +141,9 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
         else:
             msa = fasta.read_fasta_alignment(path, cfg.max_gap_fraction)
     with log.stage("pipeline"):
-        result = api.gdca_from_msa(msa, cfg)
+        result = api.gdca_from_msa(msa, cfg, top_k=top_k)
     with log.stage("emit"):
-        R = result.ranking[:top_k] if top_k else result.ranking
+        R = result.ranking
         text = format_rank(R)
         os.makedirs(out_dir, exist_ok=True)
         with open(out_path, "w") as fh:

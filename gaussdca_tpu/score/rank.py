@@ -55,6 +55,32 @@ def top_k_ranking(S: np.ndarray, min_separation: int, k: int) -> Ranking:
     return [(int(ii[t]), int(jj[t]), float(scores[t])) for t in order]
 
 
+def top_k_device(S, min_separation: int, k: int) -> Ranking:
+    """Top-k ranked pairs computed on device (jax.lax.top_k).
+
+    Only 3k scalars cross the host boundary instead of the full [N, N]
+    score matrix — the fast path for ``--top-k`` on wide alignments.
+    Ties may resolve differently from the host sort (both match the
+    reference's unspecified tie order).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    N = S.shape[0]
+    m = min_separation
+    k = int(min(k, (N - m) * (N - m + 1) // 2))
+    # mask to the ranked region: j >= i + m, read from the lower triangle
+    rows = jnp.arange(N)[:, None]
+    cols = jnp.arange(N)[None, :]
+    valid = cols >= rows + m
+    flat = jnp.where(valid, S.T, -jnp.inf).reshape(-1)  # S[j,i] read
+    vals, idx = lax.top_k(flat, k)
+    ii = idx // N + 1
+    jj = idx % N + 1
+    ii_h, jj_h, v_h = (np.asarray(ii), np.asarray(jj), np.asarray(vals))
+    return [(int(a), int(b), float(v)) for a, b, v in zip(ii_h, jj_h, v_h)]
+
+
 def format_rank(R: Ranking) -> str:
     """The reference's "%i %i %e" emission format (src/GaussDCA.jl:69)."""
     return "".join(f"{i} {j} {x:e}\n" for i, j, x in R)

@@ -148,3 +148,44 @@ def test_printrank_to_path(tmp_path):
     p = str(tmp_path / "out.txt")
     printrank(p, [(1, 2, 0.5)])
     assert open(p).read() == "1 2 5.000000e-01\n"
+
+
+def test_top_k_device_matches_full_ranking():
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussdca_tpu.score.rank import compute_ranking, top_k_device
+
+    rng = np.random.default_rng(31)
+    N, m = 40, 5
+    S = rng.standard_normal((N, N))
+    S = (S + S.T) / 2
+    np.fill_diagonal(S, 0.0)
+    full = compute_ranking(S, m)
+    for k in (1, 10, 100, 10**6):
+        top = top_k_device(jnp.asarray(S), m, k)
+        kk = min(k, len(full))
+        assert len(top) == kk
+        # same pair set and scores as the head of the full ranking
+        # (tie order may differ, so compare as score-sorted sets)
+        assert {(i, j) for i, j, _ in top} == \
+               {(i, j) for i, j, _ in full[:kk]}
+        for (i, j, s) in top:
+            assert s == pytest.approx(dict(((a, b), v) for a, b, v in full)[
+                (i, j)], rel=1e-12)
+
+
+def test_pipeline_deterministic():
+    """Same input -> bitwise identical scores (the reference relies on
+    threads + unstable sort; here determinism is an invariant)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussdca_tpu.api import scores_pipeline
+
+    rng = np.random.default_rng(5)
+    Z = jnp.asarray(rng.integers(1, 9, size=(48, 20), dtype=np.int8))
+    args = (Z, jnp.asarray(0.5, jnp.float64), jnp.asarray(0.2, jnp.float64))
+    kw = dict(q=8, score="frob", theta_is_auto=False, dtype=jnp.float64,
+              use_pallas=False)
+    S1, _, _ = scores_pipeline(*args, **kw)
+    S2, _, _ = scores_pipeline(*args, **kw)
+    assert np.array_equal(np.asarray(S1), np.asarray(S2))
