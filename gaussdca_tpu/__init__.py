@@ -8,10 +8,15 @@ map of the reference and how each layer is realized here.
 
 from gaussdca_tpu.api import GDCAConfig, GDCAResult, gdca, gdca_from_msa, printrank
 
+# Drop-in spelling for users coming from the reference (exports `gDCA`,
+# /root/reference/src/GaussDCA.jl:3).
+gDCA = gdca
+
 __version__ = "0.1.0"
 
 __all__ = [
     "gdca",
+    "gDCA",
     "gdca_from_msa",
     "printrank",
     "GDCAConfig",

@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable threaded ingest prefetch")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the batch here")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host mode: initialize jax.distributed and "
+                        "shard the family list round-robin across "
+                        "processes (each family still runs on this "
+                        "host's devices)")
     p.add_argument("--quiet", action="store_true",
                    help="suppress per-family JSON logs")
     return p
@@ -199,6 +204,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         profile_ctx.__enter__()
 
     from gaussdca_tpu.io import fasta
+
+    if args.distributed:
+        from gaussdca_tpu.parallel import mesh as meshlib
+        pidx, pcnt = meshlib.init_distributed()
+        args.inputs = meshlib.shard_families(args.inputs, pidx, pcnt)
+        if not args.quiet:
+            print(json.dumps({"process": pidx, "of": pcnt,
+                              "families": len(args.inputs)}),
+                  file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     n_err = 0

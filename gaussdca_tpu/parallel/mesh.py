@@ -65,3 +65,36 @@ def model_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> Tuple[int, int]:
+    """Initialize multi-host JAX (no-op when single-process).
+
+    Call once per host before building a mesh; afterwards
+    ``jax.devices()`` spans the pod slice and the (data, model) mesh laid
+    over it rides ICI within a host and DCN across hosts. Arguments
+    default to the standard env vars (JAX_COORDINATOR_ADDRESS etc. /
+    TPU pod metadata, which ``jax.distributed.initialize`` resolves
+    itself on Cloud TPU). Returns (process_index, process_count).
+    """
+    if num_processes is not None and num_processes > 1 or coordinator:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+def shard_families(paths: Sequence[str],
+                   process_index: Optional[int] = None,
+                   process_count: Optional[int] = None) -> list:
+    """Round-robin family assignment for multi-host batch runs.
+
+    The batch pipeline is embarrassingly parallel at the family level
+    (each MSA is independent); host p of P takes families p, p+P, ...
+    """
+    p = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    return [f for k, f in enumerate(paths) if k % n == p]
