@@ -56,6 +56,73 @@ def bench_tpu(M=32768, N=384, q=21, reps=5):
     return pairs / t
 
 
+def bench_solve(Ns=8000, reps=3):
+    """Covariance-solve throughput (hot loop #2): SPD inverse at the
+    large-golden scale (N=400, s=20 -> 8000^2), f32 HIGHEST."""
+    import jax
+    import jax.numpy as jnp
+    from gaussdca_tpu.solve.cholesky import spd_inverse
+
+    rng = np.random.default_rng(1)
+
+    @jax.jit
+    def inv(A):
+        with jax.default_matmul_precision("highest"):
+            return spd_inverse(A)
+
+    def make(seed):
+        rng = np.random.default_rng(seed)
+        A = rng.standard_normal((Ns, 256)).astype(np.float32)
+        C = A @ A.T / 256 + Ns * np.eye(Ns, dtype=np.float32)
+        return jnp.asarray(C)
+
+    Cs = [make(s) for s in range(reps + 1)]
+    float(np.asarray(inv(Cs[0])[0, 0]))  # compile
+    times = []
+    for C in Cs[1:]:
+        t0 = time.perf_counter()
+        float(np.asarray(inv(C)[0, 0]))
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    # dpotrf+dpotri-equivalent flops: (1/3 + 2/3) * Ns^3 ~= Ns^3; the
+    # Newton refinement step adds 4 Ns^3 matmul flops
+    flops = Ns ** 3 + 4 * Ns ** 3
+    log(f"[bench] covariance solve Ns={Ns}: {t:.3f}s -> "
+        f"{flops / t / 1e12:.1f} TFLOP/s (f32 HIGHEST, incl. 1 Newton "
+        f"refinement)")
+    return flops / t
+
+
+def bench_family(M=5000, N=200, q=21, reps=3):
+    """s/family end-to-end, BASELINE config #3 (mid-size Pfam)."""
+    import jax.numpy as jnp
+    from gaussdca_tpu.api import _scores_jit
+
+    rng = np.random.default_rng(2)
+    out = {}
+    for score in ("frob", "DI"):
+        Zs = [jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+              for _ in range(reps + 1)]
+
+        def run(Zi):
+            S, th, meff = _scores_jit(
+                Zi, jnp.asarray(0.2, jnp.float32),
+                jnp.asarray(0.2, jnp.float32), q=q, score=score,
+                theta_is_auto=False, dtype_name="float32", use_pallas=True)
+            return float(np.asarray(S[0, 1]))
+
+        run(Zs[0])
+        times = []
+        for Zi in Zs[1:]:
+            t0 = time.perf_counter()
+            run(Zi)
+            times.append(time.perf_counter() - t0)
+        out[score] = float(np.median(times))
+    log(f"[bench] end-to-end s/family (M={M} N={N} theta=0.2): "
+        f"frob {out['frob']:.3f}s, DI {out['DI']:.3f}s")
+    return out
+
+
 def bench_cpu_baseline(M=4096, N=384, q=21):
     """NumPy/BLAS one-hot sgemm + threshold counts: the CPU stand-in for
     the reference's threaded Hamming loop, on this same host."""
@@ -79,6 +146,8 @@ def bench_cpu_baseline(M=4096, N=384, q=21):
 
 def main():
     value = bench_tpu()
+    bench_solve()
+    bench_family()
     baseline = bench_cpu_baseline()
     print(json.dumps({
         "metric": "all-pairs reweighting throughput (symmetry-halved int8 "
