@@ -318,6 +318,85 @@ def row_stats_sym_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21, *,
     return rowsum[:M], below[:M]
 
 
+@functools.partial(jax.jit, static_argnames=("q", "tile_m", "interpret"))
+def row_stats_rect_pallas(ZA: jax.Array, ZB: jax.Array, thresh: jax.Array,
+                          q: int = 21, *, tile_m: int = 256,
+                          interpret: bool = False):
+    """Row stats of A's rows against ALL of B's rows (rectangular grid).
+
+    The shard_map building block for data-parallel reweighting: each
+    device holds its own row block A and the (small) full token matrix B,
+    and computes ``rowsum[a] = sum_b matches(a, b)`` and
+    ``below[a] = #{b : hamming(a, b) < thresh}`` for its rows only —
+    O(M_local) output, no cross-device match matrix, no communication.
+    """
+    Ma, N = ZA.shape
+    Mb, Nb = ZB.shape
+    assert N == Nb
+    Map = _round_up(max(Ma, tile_m), tile_m)
+    Mbp = _round_up(max(Mb, tile_m), tile_m)
+    Np = _round_up(max(N, 128), 128)
+    ZAp = jnp.zeros((Map, Np), jnp.int8).at[:Ma, :N].set(ZA.astype(jnp.int8))
+    ZBp = jnp.zeros((Mbp, Np), jnp.int8).at[:Mb, :N].set(ZB.astype(jnp.int8))
+    th = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
+
+    grid = (Map // tile_m, Mbp // tile_m)
+    kernel = functools.partial(_row_stats_kernel, q=q, n_valid=N)
+    rowsum, below = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_m, Np), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, Np), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Map, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Map, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Map * Mbp * Np * q,
+            bytes_accessed=(Map + Mbp) * Np + 8 * Map,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(th, ZAp, ZBp)
+    return rowsum[:Ma, 0], below[:Ma, 0]
+
+
+def row_stats_rect_jnp(ZA: jax.Array, ZB: jax.Array, thresh: jax.Array,
+                       q: int = 21, *, row_chunk: int = 256):
+    """Pure-jnp twin of ``row_stats_rect_pallas`` (CPU tests / dryrun).
+
+    One-hot semantics: token 0 (padding) matches nothing, including
+    itself — exactly like the kernels.
+    """
+    Ma, N = ZA.shape
+    pad = (-Ma) % row_chunk
+    ZAp = jnp.pad(ZA, ((0, pad), (0, 0)))
+    blocks = ZAp.reshape(-1, row_chunk, N)
+    th = jnp.asarray(thresh, jnp.float32)
+
+    def one_block(za):
+        eq = (za[:, None, :] == ZB[None, :, :]) & (za[:, None, :] > 0)
+        d = jnp.sum(eq, axis=-1, dtype=jnp.float32)
+        rs = jnp.sum(d, axis=1)
+        below = jnp.sum((N - d) < th, axis=1, dtype=jnp.float32)
+        return rs, below
+
+    rs, below = jax.lax.map(one_block, blocks)
+    return rs.reshape(-1)[:Ma], below.reshape(-1)[:Ma]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("q", "tile_m", "interpret"))
 def match_counts_pallas(Z: jax.Array, q: int = 21, *, tile_m: int = 256,

@@ -1,20 +1,25 @@
-"""Multi-chip sharded gDCA pipeline (pjit / GSPMD).
+"""Multi-chip sharded gDCA pipeline (shard_map + GSPMD).
 
 Scale-out design (new — the reference is single-process, SURVEY.md 2.9):
 
-- sequences (M) are DATA-parallel: the one-hot expansion, all-pairs
-  identity matmul, weights, and the frequency-matmul contraction are
-  sharded over the ``data`` mesh axis; GSPMD turns the contractions over
-  M into local matmuls + reduce-scatter/all-reduce over ICI,
-- the N*s statistical dimension is MODEL-parallel: two-site frequencies,
-  pseudocount/covariance assembly, coupling blocks and per-pair scores are
-  row-sharded over the ``model`` axis,
+- sequences (M) are DATA-parallel across ALL mesh devices for the O(M^2)
+  reweighting stage: each device holds its row block plus the full token
+  matrix (tokens are int8 and tiny — 40 MB at M=1e5) and computes its
+  rows' match-sum / neighbor-count via the tiled Pallas kernel. Output
+  is O(M_local) per device; the M x M match matrix NEVER exists,
+  matching the single-chip streaming path, so 1e5+-sequence MSAs shard
+  cleanly (a dense D would be 40 GB at M=1e5),
+- weighted frequencies are partial-summed per device from local rows
+  (chunked one-hot matmuls) and merged with one psum,
+- the N*s statistical dimension is MODEL-parallel for covariance
+  assembly and scoring (row-sharded over the ``model`` axis),
 - the dense Cholesky solve replicates below ``solve_min_dim`` (XLA has no
   distributed Cholesky) and switches to the mesh-blocked factorization +
   column-sharded triangular solves of solve/blocked.py above it.
 
-Everything is one jitted program; collectives are inserted by XLA from
-sharding constraints, never hand-written.
+shard_map is used where the per-device program is the point (local
+Pallas kernels, partial sums); plain sharding constraints + GSPMD
+everywhere else.
 """
 
 from __future__ import annotations
@@ -24,8 +29,10 @@ from typing import Union
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from gaussdca_tpu.ops import distance
 from gaussdca_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from gaussdca_tpu.score.apc import correct_apc
 from gaussdca_tpu.score.di import di_score
@@ -41,66 +48,115 @@ def _constrain(x, spec):
     return jax.lax.with_sharding_constraint(x, spec)
 
 
+def _row_stats_local(q: int, use_pallas: bool):
+    """Per-device body: row stats of the local row block vs all rows."""
+    def body(Z_local, Z_full, thresh):
+        if use_pallas:
+            return distance.row_stats_rect_pallas(Z_local, Z_full,
+                                                  thresh, q)
+        return distance.row_stats_rect_jnp(Z_local, Z_full, thresh, q)
+    return body
+
+
+def _freq_partial(q: int, dtype, m_chunk: int):
+    """Per-device body: unnormalized Pi/Pij partial sums of local rows."""
+    def body(Z_local, W_local):
+        M, N = Z_local.shape
+        s = q - 1
+        Wl = W_local.reshape(-1).astype(dtype)
+        if m_chunk <= 0 or m_chunk >= M:
+            E = one_hot_reduced(Z_local, q, dtype)
+            pi = jnp.einsum("m,mx->x", Wl, E,
+                            precision=jax.lax.Precision.HIGHEST)
+            pij = jnp.einsum("mx,my->xy", E * Wl[:, None], E,
+                             precision=jax.lax.Precision.HIGHEST)
+        else:
+            pad = (-M) % m_chunk
+            Zc = jnp.pad(Z_local, ((0, pad), (0, 0))).reshape(
+                -1, m_chunk, N)
+            Wc = jnp.pad(Wl, (0, pad)).reshape(-1, m_chunk)
+
+            def step(carry, chunk):
+                pi, pij = carry
+                zc, wc = chunk
+                Ec = one_hot_reduced(zc, q, dtype)
+                pi = pi + jnp.einsum(
+                    "m,mx->x", wc, Ec,
+                    precision=jax.lax.Precision.HIGHEST)
+                pij = pij + jnp.einsum(
+                    "mx,my->xy", Ec * wc[:, None], Ec,
+                    precision=jax.lax.Precision.HIGHEST)
+                return (pi, pij), None
+
+            init = (jnp.zeros((N * s,), dtype),
+                    jnp.zeros((N * s, N * s), dtype))
+            (pi, pij), _ = jax.lax.scan(step, init, (Zc, Wc))
+        pi = jax.lax.psum(pi, (DATA_AXIS, MODEL_AXIS))
+        pij = jax.lax.psum(pij, (DATA_AXIS, MODEL_AXIS))
+        return pi, pij
+    return body
+
+
 def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
                       theta_is_auto: bool, dtype, m_true: int = None,
-                      solve_min_dim: int = 4096, solve_block: int = 1024):
+                      solve_min_dim: int = 4096, solve_block: int = 1024,
+                      use_pallas: bool = None, freq_chunk: int = 0):
     """Build the jitted sharded pipeline for a fixed mesh/config.
 
-    Returns ``fn(Z, pc, theta_value) -> (S, theta, Meff)`` with Z expected
-    row-sharded over the ``data`` axis (any layout works — GSPMD will
-    reshard as declared). ``m_true`` is the unpadded sequence count when Z
-    carries token-0 padding rows (they match no state, so their only
-    footprint — a spurious unit weight — is masked out here).
+    Returns ``fn(Z, pc, theta_value) -> (S, theta, Meff)``. Z must be
+    padded to a multiple of the device count (``run_sharded`` does this);
+    ``m_true`` is the unpadded sequence count (token-0 padding rows are
+    masked out of weights, Meff, and the auto-theta pair count).
     ``solve_min_dim``: N*s at or above which the covariance inverse uses
     the mesh-blocked distributed solve instead of the replicated one.
     """
-    data2 = NamedSharding(mesh, P(DATA_AXIS, None))
-    data1 = NamedSharding(mesh, P(DATA_AXIS))
+    if use_pallas is None:
+        from gaussdca_tpu.ops.dispatch import _on_tpu
+        use_pallas = _on_tpu()
+
+    dev_axes = (DATA_AXIS, MODEL_AXIS)
+    rows_all = NamedSharding(mesh, P(dev_axes, None))
     model2 = NamedSharding(mesh, P(MODEL_AXIS, None))
     repl = NamedSharding(mesh, P())
 
+    row_stats = shard_map(
+        _row_stats_local(q, use_pallas), mesh=mesh,
+        in_specs=(P(dev_axes, None), P(), P()),
+        out_specs=(P(dev_axes), P(dev_axes)))
+
     def fn(Z, pc, theta_value):
-        # HIGHEST matmul precision throughout: the TPU f32 default is
-        # single-pass bf16, which costs ~3 digits through the solve.
         with jax.default_matmul_precision("highest"):
             return _fn_body(Z, pc, theta_value)
 
     def _fn_body(Z, pc, theta_value):
         M, N = Z.shape
         Mt = M if m_true is None else m_true
+        mask = (jnp.arange(M) < Mt).astype(dtype)
 
-        # --- reweighting: DP over sequences ------------------------------
-        states = jnp.arange(1, q + 1, dtype=Z.dtype)
-        E_full = (Z[:, :, None] == states).astype(dtype).reshape(M, N * q)
-        E_full = _constrain(E_full, data2)
-        # contraction over N*q: local matmul per data shard of rows
-        D = _constrain(
-            jnp.einsum("ak,bk->ab", E_full, E_full,
-                       preferred_element_type=dtype),
-            data2)
+        # --- reweighting: DP rows vs replicated tokens, O(M) memory ----
         if theta_is_auto:
-            # padded rows contribute no matches (incl. their diagonal), so
-            # only the pair count needs the true M
-            total = jnp.sum(D, dtype=dtype) - Mt * N
-            mfi = (total / 2.0) / (N * (Mt * (Mt - 1) / 2.0))
+            rowsum, _ = row_stats(Z, Z, jnp.asarray(0.0, jnp.float32))
+            total = (jnp.sum(rowsum.astype(dtype) * mask) - Mt * N) / 2.0
+            mfi = total / (N * (Mt * (Mt - 1) / 2.0))
             th = jnp.minimum(jnp.asarray(0.5, dtype),
                              reweight.AUTO_THETA_COEFF / mfi)
         else:
             th = jnp.asarray(theta_value, dtype)
-        W, _ = reweight.weights_from_matches(D, N, th, dtype)
-        if m_true is not None and m_true != M:
-            W = W * (jnp.arange(M) < m_true).astype(dtype)
+        thresh = jnp.floor(th.astype(dtype) * N)
+        _, below = row_stats(Z, Z, thresh.astype(jnp.float32))
+        below = jnp.maximum(
+            below.astype(dtype) - (thresh > 0).astype(dtype), 0.0)
+        W = mask / (1.0 + below)
         Meff = jnp.sum(W)
-        W = _constrain(W, data1)
 
-        # --- weighted frequencies: contraction over sharded M ------------
-        s = q - 1
-        E = one_hot_reduced(Z, q, dtype)
-        E = _constrain(E, data2)
-        Pi = jnp.einsum("m,mx->x", W, E) / Meff          # psum over data
-        Pij = _constrain(
-            jnp.einsum("mx,my->xy", E * W[:, None], E) / Meff,
-            model2)                                       # rows over model
+        # --- weighted frequencies: per-device partials + one psum -------
+        freqs = shard_map(
+            _freq_partial(q, dtype, freq_chunk), mesh=mesh,
+            in_specs=(P(dev_axes, None), P(dev_axes)),
+            out_specs=(P(), P()))
+        Pi, Pij = freqs(Z, W)
+        Pi = Pi / Meff
+        Pij = _constrain(Pij / Meff, model2)
 
         # --- pseudocount + covariance: model-sharded elementwise ---------
         Pi, Pij = add_pseudocount(Pi, Pij, pc, q)
@@ -116,6 +172,7 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
             mJ = spd_inverse(Crep)
 
         # --- scores: rows sharded over model ------------------------------
+        s = q - 1
         J4 = _constrain(mJ.reshape(N, s, N, s),
                         NamedSharding(mesh, P(MODEL_AXIS, None, None, None)))
         if score == "DI":
@@ -128,29 +185,33 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
 
     return jax.jit(
         fn,
-        in_shardings=(data2, repl, repl),
+        in_shardings=(rows_all, repl, repl),
         out_shardings=(repl, repl, repl),
     )
 
 
 def run_sharded(mesh: Mesh, Z, pc: float, theta: Union[str, float], *,
                 q: int, score: str = "frob", dtype=jnp.float32,
-                solve_min_dim: int = 4096, solve_block: int = 1024):
+                solve_min_dim: int = 4096, solve_block: int = 1024,
+                use_pallas: bool = None, freq_chunk: int = 0):
     """Convenience wrapper: pad/place Z on the mesh and run one step."""
     theta_is_auto = isinstance(theta, str)
     Z = jnp.asarray(Z)
     M = Z.shape[0]
-    dp = mesh.shape[DATA_AXIS]
-    Mp = -(-M // dp) * dp
+    ndev = mesh.devices.size
+    Mp = -(-M // ndev) * ndev
     fn = sharded_scores_fn(mesh, q=q, score=score,
                            theta_is_auto=theta_is_auto, dtype=dtype,
                            m_true=M if Mp != M else None,
                            solve_min_dim=solve_min_dim,
-                           solve_block=solve_block)
+                           solve_block=solve_block,
+                           use_pallas=use_pallas,
+                           freq_chunk=freq_chunk)
     if Mp != M:
         Z = jnp.concatenate(
             [Z, jnp.zeros((Mp - M, Z.shape[1]), Z.dtype)], axis=0)
-    Zs = jax.device_put(Z, NamedSharding(mesh, P(DATA_AXIS, None)))
+    Zs = jax.device_put(
+        Z, NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None)))
     pc_a = jnp.asarray(pc, dtype)
     th_a = jnp.asarray(0.0 if theta_is_auto else float(theta), dtype)
     return fn(Zs, pc_a, th_a)
