@@ -157,11 +157,18 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
             with open(cached, "w") as fh:
                 fh.write(text)
 
+    from gaussdca_tpu.utils.flops import pipeline_flops
+    fl = pipeline_flops(result.M, result.N, result.q, score=cfg.score,
+                        auto_theta=cfg.auto_theta)
+    pipe_s = log.timings.get("pipeline", 0.0)
     log.set(M=result.M, N=result.N, q=result.q,
             dropped_gaps=result.n_dropped_gaps,
             dropped_dups=result.n_dropped_dups,
             theta=round(result.theta, 6), meff=round(result.meff, 4),
-            pairs=len(R), score=cfg.score, output=out_path, cached=False)
+            pairs=len(R), score=cfg.score, output=out_path, cached=False,
+            tflop=round(fl["total"] / 1e12, 4),
+            tflop_per_s=round(fl["total"] / 1e12 / pipe_s, 2)
+            if pipe_s > 0 else None)
     log.emit()
     return out_path
 

@@ -86,3 +86,16 @@ def test_cli_di_mode(small, tmp_path, golden_dir):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-6)
+
+
+def test_pipeline_flops_accounting():
+    from gaussdca_tpu.utils.flops import pipeline_flops
+    fl = pipeline_flops(1000, 100, 21, score="DI", auto_theta=True)
+    assert fl["total"] == sum(v for k, v in fl.items() if k != "total")
+    # reweighting dominates at deep M
+    fl2 = pipeline_flops(100000, 100, 21, score="frob", auto_theta=True)
+    assert fl2["reweight"] > 0.9 * fl2["total"]
+    # one pass without auto-theta
+    fl3 = pipeline_flops(1000, 100, 21, score="frob", auto_theta=False)
+    assert fl3["reweight"] * 2 == pipeline_flops(
+        1000, 100, 21, score="frob", auto_theta=True)["reweight"]
