@@ -62,14 +62,18 @@ class GDCAResult:
 def scores_pipeline(Z, pc, theta_value, *, q: int, score: str,
                     theta_is_auto: bool, dtype, use_pallas: bool,
                     m_true: Optional[int] = None,
+                    n_true: Optional[int] = None,
                     precision: str = "highest"):
     """Device pipeline: tokens -> APC-corrected score matrix (+ theta, Meff).
 
     A plain traceable function (jit-wrapped by ``_scores_jit``; also the
     body the sharded multi-chip path and the graft entry point reuse).
-    ``m_true``: unpadded sequence count when Z carries token-0 padding
-    rows (bucketed batch mode — the padding is masked out of weights,
-    Meff, and the auto-theta pair count).
+    ``m_true`` / ``n_true``: unpadded sequence / position counts when Z
+    carries token-0 padding rows / columns (bucketed batch mode — row
+    padding is masked out of weights, Meff, and the auto-theta pair
+    count; column padding shifts hamming by a constant absorbed into the
+    threshold and decouples exactly from the covariance, see
+    stats/pseudocount.py).
     ``precision``: ambient matmul precision for every dot in the pipeline
     — load-bearing on TPU, where the f32 default is single-pass bf16
     multiplies: the Cholesky/score stages then lose ~3 significant
@@ -79,11 +83,12 @@ def scores_pipeline(Z, pc, theta_value, *, q: int, score: str,
     with jax.default_matmul_precision(precision):
         return _scores_body(Z, pc, theta_value, q=q, score=score,
                             theta_is_auto=theta_is_auto, dtype=dtype,
-                            use_pallas=use_pallas, m_true=m_true)
+                            use_pallas=use_pallas, m_true=m_true,
+                            n_true=n_true)
 
 
 def _scores_body(Z, pc, theta_value, *, q, score, theta_is_auto, dtype,
-                 use_pallas, m_true):
+                 use_pallas, m_true, n_true=None):
     # jax.named_scope per stage: profiler traces (--profile-dir) group ops
     # under these labels, the observability the reference lacks entirely.
     theta: Union[str, Any] = "auto" if theta_is_auto else theta_value
@@ -95,10 +100,12 @@ def _scores_body(Z, pc, theta_value, *, q, score, theta_is_auto, dtype,
         if row_stats_fn is not None:
             # Streaming path: O(M) memory, tiled MXU distance kernel.
             W, Meff, th = reweight.compute_weights_streaming(
-                Z, theta, q, row_stats_fn, dtype=dtype, m_true=m_true)
+                Z, theta, q, row_stats_fn, dtype=dtype, m_true=m_true,
+                n_true=n_true)
         else:
             W, Meff, th = reweight.compute_weights(Z, theta, dtype=dtype,
-                                                   m_true=m_true)
+                                                   m_true=m_true,
+                                                   n_true=n_true)
     with jax.named_scope("frequencies"):
         # Stream the frequency accumulation once the one-hot would exceed
         # ~1 GB (keeps 1e5+-sequence MSAs on a single chip).
@@ -109,8 +116,8 @@ def _scores_body(Z, pc, theta_value, *, q, score, theta_is_auto, dtype,
         Pi_t, Pij_t, Meff = weighted_frequencies(Z, W, q, dtype=dtype,
                                                  m_chunk=m_chunk)
     with jax.named_scope("covariance"):
-        Pi, Pij = add_pseudocount(Pi_t, Pij_t, pc, q)
-        C = compute_C(Pi, Pij)
+        Pi, Pij = add_pseudocount(Pi_t, Pij_t, pc, q, n_true=n_true)
+        C = compute_C(Pi, Pij, n_true=n_true, q=q)
     with jax.named_scope("solve"):
         mJ = spd_inverse(C)
     with jax.named_scope("score"):
@@ -118,7 +125,7 @@ def _scores_body(Z, pc, theta_value, *, q, score, theta_is_auto, dtype,
             S = di_score(mJ, C, q)
         else:
             S = frob_score(mJ, q)
-        S = correct_apc(S)
+        S = correct_apc(S, n_true=n_true)
     return S, th, Meff
 
 
@@ -128,13 +135,13 @@ def _scores_body(Z, pc, theta_value, *, q, score, theta_is_auto, dtype,
                      "use_pallas", "precision"))
 def _scores_jit(Z, pc, theta_value, *, q: int, score: str,
                 theta_is_auto: bool, dtype_name: str, use_pallas: bool,
-                m_true=None, precision: str = "highest"):
-    # m_true is traced (None = no padding): one compiled graph serves a
-    # whole padding bucket, so batch mode recompiles only per (bucket, N).
+                m_true=None, n_true=None, precision: str = "highest"):
+    # m_true / n_true are traced (None = no padding): one compiled graph
+    # serves a whole (M-bucket, N-bucket) shape class in batch mode.
     return scores_pipeline(
         Z, pc, theta_value, q=q, score=score, theta_is_auto=theta_is_auto,
         dtype=jnp.dtype(dtype_name), use_pallas=use_pallas, m_true=m_true,
-        precision=precision)
+        n_true=n_true, precision=precision)
 
 
 def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
@@ -152,11 +159,17 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
 
     dtype = cfg.resolve_dtype()
     tokens = msa.tokens
+    N_true = tokens.shape[1]
     m_true = None
+    n_true = None
     if cfg.m_bucket > 0 and tokens.shape[0] % cfg.m_bucket != 0:
         pad = cfg.m_bucket - tokens.shape[0] % cfg.m_bucket
         m_true = jnp.asarray(tokens.shape[0], jnp.int32)
         tokens = np.pad(tokens, ((0, pad), (0, 0)))
+    if cfg.n_bucket > 0 and tokens.shape[1] % cfg.n_bucket != 0:
+        pad = cfg.n_bucket - tokens.shape[1] % cfg.n_bucket
+        n_true = jnp.asarray(N_true, jnp.int32)
+        tokens = np.pad(tokens, ((0, 0), (0, pad)))
     Z = jnp.asarray(tokens)
     theta_is_auto = cfg.auto_theta
     theta_value = 0.0 if theta_is_auto else float(cfg.theta)
@@ -170,8 +183,11 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
         dtype_name=dtype.name,
         use_pallas=not cfg.resolve_fallback(),
         m_true=m_true,
+        n_true=n_true,
         precision=cfg.precision,
     )
+    if n_true is not None:
+        S = S[:N_true, :N_true]  # pad scores are exactly zero; drop them
     if top_k is not None:
         R = top_k_device(S, cfg.min_separation, top_k)
     else:

@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pad sequence counts to this multiple so similar-"
                         "depth families share compiled programs (0 = exact "
                         "shapes)")
+    p.add_argument("--n-bucket", type=int, default=0,
+                   help="pad alignment widths to this multiple (padding "
+                        "decouples exactly from the statistics); combined "
+                        "with --m-bucket one compiled program serves a "
+                        "whole (M, N) shape class")
     p.add_argument("--compile-cache", default="auto",
                    help="persistent XLA compilation cache dir; 'auto' = "
                         "~/.cache/gaussdca_tpu/xla, 'none' disables")
@@ -200,6 +205,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         dtype=args.dtype,
         force_fallback=args.fallback,
         m_bucket=args.m_bucket,
+        n_bucket=args.n_bucket,
     )
     _setup_compile_cache(args.compile_cache)
 

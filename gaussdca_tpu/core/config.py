@@ -55,6 +55,11 @@ class GDCAConfig:
       statistics; families whose depths land in the same bucket share one
       compiled program — the recompilation-storm guard for batch mode
       (SURVEY.md section 7.4).
+    - ``n_bucket``: same for the position axis (0 = exact). Padding
+      columns are invisible to the statistics and decouple exactly from
+      the covariance (identity pad block — stats/pseudocount.py), at the
+      cost of the solve running at the bucketed width. With both buckets
+      set, one compiled program serves a whole (M, N) shape class.
     """
 
     pseudocount: float = 0.8
@@ -68,6 +73,7 @@ class GDCAConfig:
     force_fallback: bool = False
     precision: str = "highest"
     m_bucket: int = 0
+    n_bucket: int = 0
 
     def __post_init__(self) -> None:
         self.validate()
@@ -105,6 +111,9 @@ class GDCAConfig:
         if not (isinstance(self.m_bucket, int) and self.m_bucket >= 0):
             raise ValueError(
                 f"invalid m_bucket value: {self.m_bucket} (must be >= 0)")
+        if not (isinstance(self.n_bucket, int) and self.n_bucket >= 0):
+            raise ValueError(
+                f"invalid n_bucket value: {self.n_bucket} (must be >= 0)")
 
     @property
     def auto_theta(self) -> bool:

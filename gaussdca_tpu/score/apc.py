@@ -13,8 +13,11 @@ import jax
 import jax.numpy as jnp
 
 
-def correct_apc(S: jax.Array) -> jax.Array:
-    N = S.shape[0]
+def correct_apc(S: jax.Array, n_true=None) -> jax.Array:
+    """APC; ``n_true`` (traced) is the real position count when S carries
+    N-bucket padding — pad rows/cols are exactly zero, so only the
+    1 - 1/N normalization needs the true N."""
+    N = S.shape[0] if n_true is None else jnp.asarray(n_true, S.dtype)
     Si = jnp.sum(S, axis=0, keepdims=True)   # [1, N]
     Sj = jnp.sum(S, axis=1, keepdims=True)   # [N, 1]
     Sa = jnp.sum(S) * (1.0 - 1.0 / N)

@@ -35,11 +35,12 @@ def match_counts(Z: jax.Array, *, row_chunk: int = 512) -> jax.Array:
     """All-pairs identity counts: out[a, b] = #{k : Z[a,k] == Z[b,k]}.
 
     Pure-jnp fallback; O(M^2 N) via chunked broadcast-compare so peak
-    memory is O(row_chunk * M * N) bools.
+    memory is O(row_chunk * M * N) bools. One-hot semantics: token 0
+    (padding) matches nothing, including itself — same as the kernels.
     """
     M, _ = Z.shape
     if M <= row_chunk:
-        eq = (Z[:, None, :] == Z[None, :, :])
+        eq = (Z[:, None, :] == Z[None, :, :]) & (Z[:, None, :] > 0)
         return jnp.sum(eq, axis=-1, dtype=jnp.int32)
 
     pad = (-M) % row_chunk
@@ -47,7 +48,7 @@ def match_counts(Z: jax.Array, *, row_chunk: int = 512) -> jax.Array:
     blocks = Zp.reshape(-1, row_chunk, Z.shape[1])
 
     def one_block(zb):
-        eq = (zb[:, None, :] == Z[None, :, :])
+        eq = (zb[:, None, :] == Z[None, :, :]) & (zb[:, None, :] > 0)
         return jnp.sum(eq, axis=-1, dtype=jnp.int32)
 
     out = jax.lax.map(one_block, blocks).reshape(-1, M)
@@ -69,17 +70,22 @@ def auto_theta(D: jax.Array, N: int, dtype=jnp.float64) -> jax.Array:
     return jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
 
 
-def weights_from_matches(D: jax.Array, N: int, theta: jax.Array,
-                         dtype=jnp.float64) -> Tuple[jax.Array, jax.Array]:
+def weights_from_matches(D: jax.Array, N, theta: jax.Array,
+                         dtype=jnp.float64,
+                         n_pad: int = None) -> Tuple[jax.Array, jax.Array]:
     """Similarity weights from the identity-count matrix.
 
     hamming(a,b) = N - D[a,b]; neighbor iff hamming < floor(theta*N),
-    self excluded. W = 1/(1+neighbors), Meff = sum(W).
+    self excluded. W = 1/(1+neighbors), Meff = sum(W). ``N`` is the true
+    alignment width (may be traced); ``n_pad`` the padded token width
+    when Z carried token-0 padding columns (counts are then computed
+    over n_pad columns but padding never matches, so the hamming shifts
+    by a constant n_pad - N absorbed into the threshold).
     """
-    M = D.shape[0]
     thresh = jnp.floor(jnp.asarray(theta, dtype) * N)
-    ham = (N - D).astype(dtype)
-    below = jnp.sum(ham < thresh, axis=1, dtype=dtype)
+    np_ = N if n_pad is None else n_pad
+    ham = (np_ - D).astype(dtype)
+    below = jnp.sum(ham < thresh + (np_ - N), axis=1, dtype=dtype)
     # The diagonal (hamming 0) is counted iff thresh > 0; remove self-match.
     # (Clamped at 0: token-0 padding rows match nothing, not even
     # themselves, and would otherwise go to -1 -> W = inf.)
@@ -95,40 +101,34 @@ def compute_weights(
     dtype=jnp.float64,
     match_counts_fn=None,
     m_true: int = None,
+    n_true: int = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(W, Meff, resolved_theta) for a token matrix Z [M, N].
 
     ``theta`` is "auto" or a real in [0, 1] (static: selects the traced
     graph). ``match_counts_fn`` lets the TPU path inject the Pallas kernel.
-    ``m_true``: unpadded sequence count (a Python int or traced scalar —
-    traced keeps one compiled graph across a padding bucket) when Z
-    carries token-0 padding rows. They match nothing — not even
-    themselves — so their only footprint is a spurious unit weight and
-    the pair count, both fixed up here.
+    ``m_true`` / ``n_true``: unpadded sequence / position counts (Python
+    ints or traced scalars — traced keeps one compiled graph across a
+    padding bucket) when Z carries token-0 padding rows / columns.
+    Padding matches nothing — not even itself (one-hot semantics in both
+    the kernels and the jnp fallback) — so padding columns shift every
+    hamming distance by a constant (absorbed into the threshold) and
+    padding rows only leave a spurious unit weight, masked here.
     """
-    M, N = Z.shape
+    M, Np = Z.shape
+    Nt = Np if n_true is None else jnp.asarray(n_true)
     counts = (match_counts_fn or match_counts)(Z)
-    if m_true is not None:
-        # Raw token comparison makes token-0 padding rows match EACH OTHER
-        # at every position (0 == 0) — unlike the one-hot kernels, where
-        # token 0 matches no state. Zero out every pair involving a pad
-        # row so the global mean, thresholds, and weights see only real
-        # sequences.
-        mask = (jnp.arange(M) < jnp.asarray(m_true))
-        counts = counts * (mask[:, None] & mask[None, :])
     if isinstance(theta, str):
         if theta != "auto":
             raise ValueError(f"invalid theta: {theta}")
-        if m_true is not None:
-            Mt = jnp.asarray(m_true, dtype)
-            total = (jnp.sum(counts.astype(dtype)) - Mt * N) / 2.0
-            mfi = total / (N * (Mt * (Mt - 1) / 2.0))
-            th = jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
-        else:
-            th = auto_theta(counts, N, dtype)
+        Mt = (jnp.asarray(m_true, dtype) if m_true is not None
+              else jnp.asarray(M, dtype))
+        total = (jnp.sum(counts.astype(dtype)) - Mt * Nt) / 2.0
+        mfi = total / (Nt * (Mt * (Mt - 1) / 2.0))
+        th = jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
     else:
         th = jnp.asarray(theta, dtype)
-    W, Meff = weights_from_matches(counts, N, th, dtype)
+    W, Meff = weights_from_matches(counts, Nt, th, dtype, n_pad=Np)
     if m_true is not None:
         W = W * (jnp.arange(M) < jnp.asarray(m_true)).astype(dtype)
         Meff = jnp.sum(W)
@@ -143,6 +143,7 @@ def compute_weights_streaming(
     *,
     dtype=jnp.float64,
     m_true: int = None,
+    n_true: int = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(W, Meff, resolved_theta) in O(M) memory via the row-stats kernel.
 
@@ -156,20 +157,25 @@ def compute_weights_streaming(
     carries ~1e-7 relative error — this can only matter if floor(theta*N)
     sits exactly on an integer boundary.
     """
-    M, N = Z.shape
+    M, Np = Z.shape
     Mt = M if m_true is None else jnp.asarray(m_true, dtype)
+    Nt = Np if n_true is None else jnp.asarray(n_true, dtype)
     if isinstance(theta, str):
         if theta != "auto":
             raise ValueError(f"invalid theta: {theta}")
         rowsum, _ = row_stats_fn(Z, jnp.asarray(0.0, jnp.float32), q)
-        # padding rows contribute no matches, only the pair count changes
-        total = (jnp.sum(rowsum, dtype=dtype) - Mt * N) / 2.0
-        mfi = total / (N * (Mt * (Mt - 1) / 2.0))
+        # padding rows/columns contribute no matches; only the pair count
+        # and the per-row self-match (= Nt) change
+        total = (jnp.sum(rowsum, dtype=dtype) - Mt * Nt) / 2.0
+        mfi = total / (Nt * (Mt * (Mt - 1) / 2.0))
         th = jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
     else:
         th = jnp.asarray(theta, dtype)
-    thresh = jnp.floor(th.astype(dtype) * N)
-    _, below = row_stats_fn(Z, thresh.astype(jnp.float32), q)
+    thresh = jnp.floor(th.astype(dtype) * Nt)
+    # the kernel computes hamming over the padded width; padding columns
+    # never match, shifting every distance by the constant Np - Nt,
+    # absorbed into the threshold
+    _, below = row_stats_fn(Z, (thresh + (Np - Nt)).astype(jnp.float32), q)
     # drop the self-match; clamp at 0 (token-0 padding rows match nothing,
     # not even themselves, and would otherwise go to -1 -> W = inf)
     below = jnp.maximum(

@@ -101,3 +101,29 @@ def test_bucketed_padding_matches_exact(golden_dir):
     assert set(got) == set(want)
     for k, s0 in want.items():
         assert got[k] == pytest.approx(s0, rel=1e-9, abs=1e-11)
+
+
+@pytest.mark.parametrize("score,pc", [("frob", 0.8), ("DI", 0.2)])
+def test_n_bucketed_padding_matches_exact(golden_dir, score, pc):
+    """(M, N)-bucketed runs must reproduce the exact-shape ranking:
+    padding columns decouple exactly from the covariance."""
+    import os
+    import numpy as np
+    from gaussdca_tpu import api
+    from gaussdca_tpu.core.config import GDCAConfig
+    from gaussdca_tpu.io import fasta
+
+    path = os.path.join(golden_dir, "small.fasta.gz")
+    msa = fasta.read_fasta_alignment(path, 0.9)
+    base = api.gdca_from_msa(msa, GDCAConfig(score=score, pseudocount=pc))
+    padded = api.gdca_from_msa(
+        msa, GDCAConfig(score=score, pseudocount=pc,
+                        m_bucket=64, n_bucket=64))
+    assert msa.N % 64 != 0  # N=53 actually pads
+    assert base.theta == pytest.approx(padded.theta, rel=1e-13)
+    assert base.meff == padded.meff
+    want = {(i, j): s for i, j, s in base.ranking}
+    got = {(i, j): s for i, j, s in padded.ranking}
+    assert set(got) == set(want)
+    for k, s0 in want.items():
+        assert got[k] == pytest.approx(s0, rel=1e-7, abs=1e-9)
