@@ -94,3 +94,60 @@ def test_all_dropped_error(tmp_path):
     for un in (True, False):
         with pytest.raises(ValueError, match="max_gap_fraction"):
             fasta.read_fasta_alignment(str(p), 0.5, use_native=un)
+
+
+def test_differential_fuzz(tmp_path):
+    """Random structured FASTA-ish inputs: both parsers must agree on
+    success output or both must reject (messages may differ in detail)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    seq_alpha = list("ACDEFGHIKLMNPQRSTVWYXZB-")
+    ins_alpha = list("acd.z")
+    n_agree = 0
+    for trial in range(60):
+        width = int(rng.integers(3, 15))
+        lines = []
+        for _ in range(int(rng.integers(1, 6))):
+            lines.append(">" + "".join(
+                rng.choice(list("abc /1-9"), size=rng.integers(0, 8))))
+            w = width
+            if rng.random() < 0.15:               # corrupt: ragged length
+                w = max(1, width + int(rng.integers(-2, 3)) or width)
+            chars = list(rng.choice(seq_alpha, size=w))
+            for _ in range(int(rng.integers(0, 4))):   # inserts (removed)
+                chars.insert(int(rng.integers(0, len(chars) + 1)),
+                             str(rng.choice(ins_alpha)))
+            # split across 1-2 lines
+            k = int(rng.integers(0, len(chars) + 1)) \
+                if rng.random() < 0.4 else len(chars)
+            lines.append("".join(chars[:k]))
+            if k < len(chars):
+                lines.append("".join(chars[k:]))
+            if rng.random() < 0.2:
+                lines.append("")                       # blank line
+        if rng.random() < 0.1:
+            lines.insert(0, "LEADINGJUNK")             # data before header
+        text = ("\r\n" if rng.random() < 0.3 else "\n").join(lines)
+        if rng.random() < 0.5:
+            text += "\n"
+        p = tmp_path / f"fuzz{trial}.fasta"
+        p.write_text(text)
+        mgf = float(rng.choice([0.5, 0.9, 1.0]))
+
+        def run(un):
+            try:
+                m = fasta.read_fasta_alignment(str(p), mgf, use_native=un)
+                return ("ok", m.tokens.tobytes(), tuple(m.headers), m.q,
+                        m.n_dropped_gaps)
+            except ValueError:
+                return ("err",)
+
+        a, b = run(True), run(False)
+        if a[0] == "ok":
+            assert a == b, f"trial {trial}: native={a[0]} numpy={b[0]}\n{text!r}"
+            n_agree += 1
+        else:
+            assert b[0] == "err", f"trial {trial}: native rejected, " \
+                                  f"numpy accepted\n{text!r}"
+    assert n_agree >= 5  # the generator produces some valid files
