@@ -119,10 +119,12 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
     model2 = NamedSharding(mesh, P(MODEL_AXIS, None))
     repl = NamedSharding(mesh, P())
 
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, which the default shard_map checker rejects
     row_stats = shard_map(
         _row_stats_local(q, use_pallas), mesh=mesh,
         in_specs=(P(dev_axes, None), P(), P()),
-        out_specs=(P(dev_axes), P(dev_axes)))
+        out_specs=(P(dev_axes), P(dev_axes)), check_vma=False)
 
     def fn(Z, pc, theta_value):
         with jax.default_matmul_precision("highest"):
@@ -153,7 +155,7 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
         freqs = shard_map(
             _freq_partial(q, dtype, freq_chunk), mesh=mesh,
             in_specs=(P(dev_axes, None), P(dev_axes)),
-            out_specs=(P(), P()))
+            out_specs=(P(), P()), check_vma=False)
         Pi, Pij = freqs(Z, W)
         Pi = Pi / Meff
         Pij = _constrain(Pij / Meff, model2)
