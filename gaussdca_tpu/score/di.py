@@ -131,12 +131,18 @@ def di_score(mJ: jax.Array, C: jax.Array, q: int,
     if P <= pair_chunk:
         di = _di_pairs(Jb, Li, Lj)
     else:
-        pad = (-P) % pair_chunk
+        # balance the chunks: ceil-split P over the minimum chunk count
+        # (lane-aligned) instead of padding the tail to a full pair_chunk
+        # — at N=400 naive padding would compute 64% extra pairs
+        n_chunks = -(-P // pair_chunk)
+        per_chunk = -(-P // n_chunks)
+        chunk = -(-per_chunk // 128) * 128
+        pad = (-P) % chunk
         def padz(x):
             return jnp.concatenate(
                 [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
         blocks = jax.tree_util.tree_map(
-            lambda x: padz(x).reshape(-1, pair_chunk, s, s), (Jb, Li, Lj))
+            lambda x: padz(x).reshape(-1, chunk, s, s), (Jb, Li, Lj))
         di = jax.lax.map(lambda a: _di_pairs(*a), blocks).reshape(-1)[:P]
 
     S = jnp.zeros((N, N), mJ.dtype)
