@@ -93,9 +93,12 @@ def _scores_body(Z, pc, theta_value, *, q, score, theta_is_auto, dtype,
     # under these labels, the observability the reference lacks entirely.
     theta: Union[str, Any] = "auto" if theta_is_auto else theta_value
     row_stats_fn = None
+    match_counts_fn = None
     if use_pallas:
         from gaussdca_tpu.ops import dispatch
-        row_stats_fn = dispatch.kernels().get("row_stats_fn")
+        ks = dispatch.kernels()
+        row_stats_fn = ks.get("row_stats_fn")
+        match_counts_fn = ks.get("match_counts_fn")
     with jax.named_scope("reweight"):
         if row_stats_fn is not None:
             # Streaming path: O(M) memory, tiled MXU distance kernel.
@@ -103,9 +106,13 @@ def _scores_body(Z, pc, theta_value, *, q, score, theta_is_auto, dtype,
                 Z, theta, q, row_stats_fn, dtype=dtype, m_true=m_true,
                 n_true=n_true)
         else:
-            W, Meff, th = reweight.compute_weights(Z, theta, dtype=dtype,
-                                                   m_true=m_true,
-                                                   n_true=n_true)
+            # dense path; match_counts_fn (e.g. GDCA_DISTANCE_IMPL=mxu)
+            # swaps the [M, M] count kernel, jnp fallback otherwise
+            W, Meff, th = reweight.compute_weights(
+                Z, theta, dtype=dtype,
+                match_counts_fn=(functools.partial(match_counts_fn, q=q)
+                                 if match_counts_fn is not None else None),
+                m_true=m_true, n_true=n_true)
     with jax.named_scope("frequencies"):
         # Stream the frequency accumulation once the one-hot would exceed
         # ~1 GB (keeps 1e5+-sequence MSAs on a single chip).

@@ -106,15 +106,39 @@ def _cache_key(path: str, cfg: GDCAConfig, top_k: Optional[int]) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as fh:
         h.update(fh.read())
+    # the RESOLVED dtype: f32 and f64 runs of the same family must not
+    # share an artifact (cfg.dtype=None resolves per-backend)
     key = (cfg.pseudocount, cfg.theta, cfg.max_gap_fraction, cfg.score,
-           cfg.min_separation, cfg.remove_dups, str(cfg.dtype), top_k)
+           cfg.min_separation, cfg.remove_dups, cfg.resolve_dtype().name,
+           top_k)
     h.update(repr(key).encode())
     return h.hexdigest()
 
 
+def _stem(path: str) -> str:
+    stem = os.path.basename(path)
+    for suf in (".gz", ".fasta", ".fa", ".afa", ".fna"):
+        if stem.endswith(suf):
+            stem = stem[: -len(suf)]
+    return stem
+
+
+def _output_stems(paths: List[str]) -> List[str]:
+    """Per-input output stems, disambiguating basename collisions so
+    famA/align.fasta and famB/align.fasta don't overwrite each other."""
+    seen: dict = {}
+    out = []
+    for p in paths:
+        s = _stem(p)
+        n = seen.get(s, 0)
+        seen[s] = n + 1
+        out.append(s if n == 0 else f"{s}.{n + 1}")
+    return out
+
+
 def run_family(path: str, cfg: GDCAConfig, out_dir: str,
                top_k: Optional[int], cache_dir: Optional[str],
-               quiet: bool, msa_future=None) -> str:
+               quiet: bool, msa_future=None, stem: str = None) -> str:
     """Process one family; returns the output path.
 
     ``msa_future``: optional concurrent.futures.Future holding the
@@ -125,10 +149,8 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
     from gaussdca_tpu.score.rank import format_rank
     from gaussdca_tpu.utils.log import RunLog
 
-    stem = os.path.basename(path)
-    for suf in (".gz", ".fasta", ".fa", ".afa", ".fna"):
-        if stem.endswith(suf):
-            stem = stem[: -len(suf)]
+    if stem is None:
+        stem = _stem(path)
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, stem + ".rank.txt")
 
@@ -207,6 +229,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         m_bucket=args.m_bucket,
         n_bucket=args.n_bucket,
     )
+    if args.dtype == "float64":
+        # f64 is only honored when x64 is enabled (CPU golden mode);
+        # without this the pipeline would silently downcast to f32
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        if jax.default_backend() not in ("cpu",):
+            print(json.dumps({"warning": "float64 requested on a "
+                              f"{jax.default_backend()} backend; TPUs "
+                              "have no f64 hardware"}),
+                  file=sys.stderr, flush=True)
     _setup_compile_cache(args.compile_cache)
 
     profile_ctx = None
@@ -218,10 +250,16 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from gaussdca_tpu.io import fasta
 
+    # stems must be assigned over the FULL batch (collision disambiguation
+    # has to agree across --distributed processes sharing an output dir)
+    all_stems = _output_stems(args.inputs)
+    stems = all_stems
+
     if args.distributed:
         from gaussdca_tpu.parallel import mesh as meshlib
         pidx, pcnt = meshlib.init_distributed()
         args.inputs = meshlib.shard_families(args.inputs, pidx, pcnt)
+        stems = meshlib.shard_families(all_stems, pidx, pcnt)
         if not args.quiet:
             print(json.dumps({"process": pidx, "of": pcnt,
                               "families": len(args.inputs)}),
@@ -231,20 +269,32 @@ def main(argv: Optional[List[str]] = None) -> int:
     n_err = 0
     pool = None if args.no_prefetch else \
         concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+    def _will_hit_cache(path: str) -> bool:
+        if not args.cache_dir:
+            return False
+        try:
+            return os.path.exists(os.path.join(
+                args.cache_dir, _cache_key(path, cfg, args.top_k)))
+        except OSError:
+            return False
+
+    def _submit(k: int, futures) -> None:
+        # skip the parse for families the artifact cache will short-circuit
+        if pool is not None and k < len(args.inputs) \
+                and not _will_hit_cache(args.inputs[k]):
+            futures[k] = pool.submit(fasta.read_fasta_alignment,
+                                     args.inputs[k], cfg.max_gap_fraction)
+
     try:
         futures = [None] * len(args.inputs)
-        if pool is not None and len(args.inputs) > 1:
-            futures[0] = pool.submit(fasta.read_fasta_alignment,
-                                     args.inputs[0], cfg.max_gap_fraction)
+        _submit(0, futures)
         for k, path in enumerate(args.inputs):
-            if pool is not None and k + 1 < len(args.inputs):
-                futures[k + 1] = pool.submit(
-                    fasta.read_fasta_alignment, args.inputs[k + 1],
-                    cfg.max_gap_fraction)
+            _submit(k + 1, futures)
             try:
                 run_family(path, cfg, args.output_dir, args.top_k,
                            args.cache_dir, args.quiet,
-                           msa_future=futures[k])
+                           msa_future=futures[k], stem=stems[k])
             except (ValueError, OSError) as e:
                 n_err += 1
                 print(json.dumps({"family": path, "error": str(e)}),

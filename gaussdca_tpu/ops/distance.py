@@ -197,8 +197,7 @@ def _match_tile_cached(ea_ref, zb, q: int) -> jax.Array:
 
 def _row_stats_sym_kernel(thresh_ref, za_ref, zb_ref,
                           rs_row_ref, cnt_row_ref, rs_col_ref, cnt_col_ref,
-                          ea_ref,
-                          *, q: int, n_valid: int, T: int):
+                          *refs, q: int, n_valid: int, T: int):
     """Grid cell (i, j'): tile (i, b = (i+j') mod T) of the match matrix.
 
     The tile's row reductions (credited to block i) accumulate in place
@@ -214,16 +213,20 @@ def _row_stats_sym_kernel(thresh_ref, za_ref, zb_ref,
     i = pl.program_id(0)
     jp = pl.program_id(1)
     J = rs_col_ref.shape[1]
+    ea_ref = refs[0] if refs else None  # scratch, absent for wide N
 
-    @pl.when(jp == 0)
-    def _():
-        # cache side A's one-hot planes for the whole inner j' loop
-        za = za_ref[:].astype(jnp.int32)
-        Np = za.shape[1]
-        for c in range(1, q + 1):
-            ea_ref[:, (c - 1) * Np:c * Np] = (za == c).astype(jnp.int8)
+    if ea_ref is not None:
+        @pl.when(jp == 0)
+        def _():
+            # cache side A's one-hot planes for the whole inner j' loop
+            za = za_ref[:].astype(jnp.int32)
+            Np = za.shape[1]
+            for c in range(1, q + 1):
+                ea_ref[:, (c - 1) * Np:c * Np] = (za == c).astype(jnp.int8)
 
-    tile = _match_tile_cached(ea_ref, zb_ref[:], q).astype(jnp.float32)
+        tile = _match_tile_cached(ea_ref, zb_ref[:], q).astype(jnp.float32)
+    else:
+        tile = _match_tile(za_ref[:], zb_ref[:], q).astype(jnp.float32)
     thresh = thresh_ref[0, 0]
     near = ((n_valid - tile) < thresh).astype(jnp.float32)
 
@@ -254,19 +257,32 @@ def _row_stats_sym_kernel(thresh_ref, za_ref, zb_ref,
         cnt_col_ref[:] = jnp.where(slot, cnt_c, cnt_col_ref[:])
 
 
+# budget for the one-hot plane scratch: the scoped-VMEM limit is 16 MB
+# and the token tiles / accumulator / outputs need the rest
+_SCRATCH_BUDGET = 8 * 2 ** 20
+
+
 @functools.partial(jax.jit, static_argnames=("q", "tile_m", "interpret"))
 def row_stats_sym_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21, *,
-                         tile_m: int = 512, interpret: bool = False):
+                         tile_m: int = 0, interpret: bool = False):
     """Symmetry-halved ``row_stats_pallas``: same contract, ~2x fewer FLOPs.
 
     Each unordered tile pair is computed once (circulant covering, see
     ``_row_stats_sym_kernel``); the [M, M] match matrix never exists.
     Returns ``(rowsum [M] f32, below [M] f32)`` identical to
-    ``row_stats_pallas``.
+    ``row_stats_pallas``. ``tile_m=0`` picks the largest tile whose
+    one-hot scratch fits the VMEM budget (wide alignments shrink the
+    tile, and beyond ~N=3000 drop the scratch cache entirely).
     """
     M, N = Z.shape
+    if tile_m == 0:
+        Npp = _round_up(max(N, 128), 128)
+        tile_m = 512
+        while tile_m > 128 and tile_m * Npp * q > _SCRATCH_BUDGET:
+            tile_m //= 2
     Mp = _round_up(max(M, tile_m), tile_m)
     Np = _round_up(max(N, 128), 128)
+    use_scratch = tile_m * Np * q <= _SCRATCH_BUDGET
     Zp = jnp.zeros((Mp, Np), jnp.int8).at[:M, :N].set(Z.astype(jnp.int8))
     th = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
 
@@ -293,7 +309,8 @@ def row_stats_sym_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21, *,
         ],
         out_specs=(row_spec, row_spec, col_spec, col_spec),
         out_shape=(row_shape, row_shape, col_shape, col_shape),
-        scratch_shapes=[pltpu.VMEM((tile_m, Np * q), jnp.int8)],
+        scratch_shapes=([pltpu.VMEM((tile_m, Np * q), jnp.int8)]
+                        if use_scratch else []),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * (Mp // 2 + tile_m) * Np * q,
             bytes_accessed=2 * T * J * tile_m * Np + 16 * Mp * J,

@@ -40,7 +40,7 @@ from gaussdca_tpu.score.frob import _fn_row
 from gaussdca_tpu.solve.blocked import spd_inverse_blocked
 from gaussdca_tpu.solve.cholesky import spd_inverse
 from gaussdca_tpu.stats import reweight
-from gaussdca_tpu.stats.frequencies import one_hot_reduced
+from gaussdca_tpu.stats.frequencies import accumulate_frequencies
 from gaussdca_tpu.stats.pseudocount import add_pseudocount, compute_C
 
 
@@ -59,38 +59,12 @@ def _row_stats_local(q: int, use_pallas: bool):
 
 
 def _freq_partial(q: int, dtype, m_chunk: int):
-    """Per-device body: unnormalized Pi/Pij partial sums of local rows."""
+    """Per-device body: unnormalized Pi/Pij partial sums of local rows,
+    psum-merged (the accumulator itself is shared with the single-chip
+    path — stats/frequencies.accumulate_frequencies)."""
     def body(Z_local, W_local):
-        M, N = Z_local.shape
-        s = q - 1
-        Wl = W_local.reshape(-1).astype(dtype)
-        if m_chunk <= 0 or m_chunk >= M:
-            E = one_hot_reduced(Z_local, q, dtype)
-            pi = jnp.einsum("m,mx->x", Wl, E,
-                            precision=jax.lax.Precision.HIGHEST)
-            pij = jnp.einsum("mx,my->xy", E * Wl[:, None], E,
-                             precision=jax.lax.Precision.HIGHEST)
-        else:
-            pad = (-M) % m_chunk
-            Zc = jnp.pad(Z_local, ((0, pad), (0, 0))).reshape(
-                -1, m_chunk, N)
-            Wc = jnp.pad(Wl, (0, pad)).reshape(-1, m_chunk)
-
-            def step(carry, chunk):
-                pi, pij = carry
-                zc, wc = chunk
-                Ec = one_hot_reduced(zc, q, dtype)
-                pi = pi + jnp.einsum(
-                    "m,mx->x", wc, Ec,
-                    precision=jax.lax.Precision.HIGHEST)
-                pij = pij + jnp.einsum(
-                    "mx,my->xy", Ec * wc[:, None], Ec,
-                    precision=jax.lax.Precision.HIGHEST)
-                return (pi, pij), None
-
-            init = (jnp.zeros((N * s,), dtype),
-                    jnp.zeros((N * s, N * s), dtype))
-            (pi, pij), _ = jax.lax.scan(step, init, (Zc, Wc))
+        pi, pij = accumulate_frequencies(
+            Z_local, W_local.reshape(-1), q, dtype=dtype, m_chunk=m_chunk)
         pi = jax.lax.psum(pi, (DATA_AXIS, MODEL_AXIS))
         pij = jax.lax.psum(pij, (DATA_AXIS, MODEL_AXIS))
         return pi, pij
@@ -132,24 +106,14 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
 
     def _fn_body(Z, pc, theta_value):
         M, N = Z.shape
-        Mt = M if m_true is None else m_true
-        mask = (jnp.arange(M) < Mt).astype(dtype)
 
         # --- reweighting: DP rows vs replicated tokens, O(M) memory ----
-        if theta_is_auto:
-            rowsum, _ = row_stats(Z, Z, jnp.asarray(0.0, jnp.float32))
-            total = (jnp.sum(rowsum.astype(dtype) * mask) - Mt * N) / 2.0
-            mfi = total / (N * (Mt * (Mt - 1) / 2.0))
-            th = jnp.minimum(jnp.asarray(0.5, dtype),
-                             reweight.AUTO_THETA_COEFF / mfi)
-        else:
-            th = jnp.asarray(theta_value, dtype)
-        thresh = jnp.floor(th.astype(dtype) * N)
-        _, below = row_stats(Z, Z, thresh.astype(jnp.float32))
-        below = jnp.maximum(
-            below.astype(dtype) - (thresh > 0).astype(dtype), 0.0)
-        W = mask / (1.0 + below)
-        Meff = jnp.sum(W)
+        # same streaming semantics as the single-chip path, with the
+        # shard_map'd rectangular row-stats kernel injected
+        theta = "auto" if theta_is_auto else theta_value
+        W, Meff, th = reweight.compute_weights_streaming(
+            Z, theta, q, lambda z, t, _q: row_stats(z, z, t),
+            dtype=dtype, m_true=m_true)
 
         # --- weighted frequencies: per-device partials + one psum -------
         freqs = shard_map(

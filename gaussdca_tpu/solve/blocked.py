@@ -123,7 +123,33 @@ def tri_inverse_apply(L: jax.Array, *, mesh: Optional[Mesh] = None,
 
 def spd_inverse_blocked(C: jax.Array, *, block: int = 1024,
                         mesh: Optional[Mesh] = None,
-                        axes: Optional[Sequence[str]] = None) -> jax.Array:
-    """Distributed inverse of an SPD matrix (drop-in for ``spd_inverse``)."""
+                        axes: Optional[Sequence[str]] = None,
+                        refine_iters: Optional[int] = None) -> jax.Array:
+    """Distributed inverse of an SPD matrix (drop-in for ``spd_inverse``).
+
+    Applies the same dtype-default Newton refinement as ``spd_inverse``
+    (1 step in f32 — load-bearing for DI accuracy, see solve/cholesky.py);
+    with a mesh the refinement matmuls are row-sharded over it.
+    """
+    from gaussdca_tpu.solve.cholesky import newton_refine
+
     L = blocked_cholesky(C, block=block, mesh=mesh, axes=axes)
-    return tri_inverse_apply(L, mesh=mesh, axes=axes)
+    X = tri_inverse_apply(L, mesh=mesh, axes=axes)
+    if refine_iters is None:
+        refine_iters = 0 if C.dtype == jnp.float64 else 1
+    if refine_iters:
+        if mesh is not None:
+            names = tuple(axes) if axes is not None else \
+                tuple(mesh.axis_names)
+            spec = jax.sharding.NamedSharding(mesh, P(names, None))
+            eye = jnp.eye(C.shape[0], dtype=C.dtype)
+            p = jax.lax.Precision.HIGHEST
+            for _ in range(refine_iters):
+                R = eye - jax.lax.with_sharding_constraint(
+                    jnp.matmul(C, X, precision=p), spec)
+                X = X + jax.lax.with_sharding_constraint(
+                    jnp.matmul(X, R, precision=p), spec)
+                X = 0.5 * (X + X.T)
+        else:
+            X = newton_refine(C, X, refine_iters)
+    return X

@@ -45,7 +45,7 @@ def one_hot_reduced(Z: jax.Array, q: int, dtype) -> jax.Array:
     return E.reshape(M, N * s)
 
 
-def weighted_frequencies(
+def accumulate_frequencies(
     Z: jax.Array,
     W: jax.Array,
     q: int,
@@ -53,24 +53,24 @@ def weighted_frequencies(
     dtype=jnp.float64,
     precision=jax.lax.Precision.HIGHEST,
     m_chunk: int = 0,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(Pi_true [N*s], Pij_true [N*s, N*s], Meff) from tokens and weights.
+) -> Tuple[jax.Array, jax.Array]:
+    """UNNORMALIZED (pi [N*s], pij [N*s, N*s]) weighted one-hot sums.
 
-    ``m_chunk > 0`` streams the accumulation over sequence chunks of that
-    size (peak memory O(m_chunk * N * s) instead of O(M * N * s)); 0
-    materializes the one-hot in one shot. Results are identical up to
-    f.p. summation order.
+    The shared accumulator: the single-chip path divides by Meff; the
+    sharded path psums per-device partials first (parallel/sharded.py).
+    ``m_chunk > 0`` streams over sequence chunks of that size (peak
+    memory O(m_chunk * N * s)); 0 materializes the one-hot in one shot.
+    Results are identical up to f.p. summation order.
     """
     M, N = Z.shape
     s = q - 1
     W = W.astype(dtype)
-    Meff = jnp.sum(W)
     if m_chunk <= 0 or m_chunk >= M:
         E = one_hot_reduced(Z, q, dtype)
-        Pi = jnp.einsum("m,mx->x", W, E, precision=precision) / Meff
-        Pij = jnp.einsum("mx,my->xy", E * W[:, None], E,
-                         precision=precision) / Meff
-        return Pi, Pij, Meff
+        pi = jnp.einsum("m,mx->x", W, E, precision=precision)
+        pij = jnp.einsum("mx,my->xy", E * W[:, None], E,
+                         precision=precision)
+        return pi, pij
 
     pad = (-M) % m_chunk
     Zp = jnp.pad(Z, ((0, pad), (0, 0)))          # token 0: zero one-hot row
@@ -88,5 +88,21 @@ def weighted_frequencies(
         return (pi, pij), None
 
     init = (jnp.zeros((N * s,), dtype), jnp.zeros((N * s, N * s), dtype))
-    (Pi, Pij), _ = jax.lax.scan(step, init, (Zc, Wc))
-    return Pi / Meff, Pij / Meff, Meff
+    (pi, pij), _ = jax.lax.scan(step, init, (Zc, Wc))
+    return pi, pij
+
+
+def weighted_frequencies(
+    Z: jax.Array,
+    W: jax.Array,
+    q: int,
+    *,
+    dtype=jnp.float64,
+    precision=jax.lax.Precision.HIGHEST,
+    m_chunk: int = 0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(Pi_true [N*s], Pij_true [N*s, N*s], Meff) from tokens and weights."""
+    Meff = jnp.sum(W.astype(dtype))
+    pi, pij = accumulate_frequencies(Z, W, q, dtype=dtype,
+                                     precision=precision, m_chunk=m_chunk)
+    return pi / Meff, pij / Meff, Meff

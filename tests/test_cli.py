@@ -99,3 +99,25 @@ def test_pipeline_flops_accounting():
     fl3 = pipeline_flops(1000, 100, 21, score="frob", auto_theta=False)
     assert fl3["reweight"] * 2 == pipeline_flops(
         1000, 100, 21, score="frob", auto_theta=True)["reweight"]
+
+
+def test_output_stem_collisions(tmp_path):
+    from gaussdca_tpu.cli import _output_stems
+    paths = [str(tmp_path / "a" / "fam.fasta"),
+             str(tmp_path / "b" / "fam.fasta"),
+             str(tmp_path / "c" / "other.fa"),
+             str(tmp_path / "d" / "fam.fasta.gz")]
+    stems = _output_stems(paths)
+    assert len(set(stems)) == len(stems)
+    assert stems[0] == "fam" and stems[2] == "other"
+    assert stems[1] != stems[0] and stems[3] not in (stems[0], stems[1])
+
+
+def test_cache_key_uses_resolved_dtype(tmp_path):
+    from gaussdca_tpu.cli import _cache_key
+    from gaussdca_tpu.core.config import GDCAConfig
+    p = tmp_path / "x.fasta"
+    p.write_text(">a\nACDEF\n")
+    k32 = _cache_key(str(p), GDCAConfig(dtype="float32"), None)
+    k64 = _cache_key(str(p), GDCAConfig(dtype="float64"), None)
+    assert k32 != k64
