@@ -64,8 +64,15 @@ def match_counts_mxu(Z: jax.Array, q: int = 21) -> jax.Array:
     return D.astype(jnp.int32)
 
 
-def _match_tile(za, zb, q: int) -> jax.Array:
-    """[TM, TN] int32 match counts of two token tiles via q s8 matmuls."""
+def _match_tile(za, zb, q: int, unroll: bool = True) -> jax.Array:
+    """[TM, TN] int32 match counts of two token tiles via q s8 matmuls.
+
+    ``unroll=False`` keeps only one iteration's one-hot temporaries live
+    (Mosaic materializes ALL of them under full unroll — ~2*q*TM*Np
+    bytes — which blows the 16 MB scoped-VMEM limit for wide tiles); it
+    costs ~40% throughput, so it is only chosen when full unroll cannot
+    fit (see ``_plan_tiles``).
+    """
     # Widen to i32 for the comparisons: Mosaic/v5e has no 8-bit vector cmp;
     # the one-hot operands themselves go to the MXU as int8.
     za = za.astype(jnp.int32)
@@ -84,16 +91,17 @@ def _match_tile(za, zb, q: int) -> jax.Array:
             precision=jax.lax.Precision.DEFAULT)
 
     acc = jnp.zeros((za.shape[0], zb.shape[0]), jnp.int32)
-    return jax.lax.fori_loop(1, q + 1, body, acc, unroll=True)
+    # Mosaic supports only unroll in {1, num_steps}
+    return jax.lax.fori_loop(1, q + 1, body, acc, unroll=bool(unroll))
 
 
-def _match_kernel(za_ref, zb_ref, out_ref, *, q: int):
+def _match_kernel(za_ref, zb_ref, out_ref, *, q: int, unroll: bool = True):
     """One (TM, TN) tile: accumulate one-hot matmuls over the q symbols."""
-    out_ref[:] = _match_tile(za_ref[:], zb_ref[:], q)
+    out_ref[:] = _match_tile(za_ref[:], zb_ref[:], q, unroll)
 
 
 def _row_stats_kernel(thresh_ref, za_ref, zb_ref, sum_ref, cnt_ref,
-                      *, q: int, n_valid: int):
+                      *, q: int, n_valid: int, unroll: bool = True):
     """Grid cell (i, j): fold tile statistics into the row accumulators.
 
     Never materializes the [M, M] match matrix in HBM — each (TM, TN)
@@ -102,7 +110,7 @@ def _row_stats_kernel(thresh_ref, za_ref, zb_ref, sum_ref, cnt_ref,
     i only are revisited, the standard Pallas reduction pattern).
     """
     j = pl.program_id(1)
-    tile = _match_tile(za_ref[:], zb_ref[:], q).astype(jnp.float32)
+    tile = _match_tile(za_ref[:], zb_ref[:], q, unroll).astype(jnp.float32)
 
     rs = jnp.sum(tile, axis=1, keepdims=True)                  # [TM, 1]
     thresh = thresh_ref[0, 0]
@@ -123,9 +131,28 @@ def _row_stats_kernel(thresh_ref, za_ref, zb_ref, sum_ref, cnt_ref,
         cnt_ref[:] = cnt_ref[:] + below
 
 
+def _plan_tiles(N: int, q: int):
+    """(tile_m, unroll) fitting the 16 MB scoped-VMEM limit.
+
+    Full unroll materializes ~(2q + 8) * tile * Np bytes of one-hot and
+    widened-i32 temporaries (measured: 29 MB at tile=128, Np=4096,
+    q=21); when no tile >= 128 fits under a 12 MB budget, fall back to
+    unroll=1 (temporaries ~10 * tile * Np) with a larger tile.
+    """
+    Np = _round_up(max(N, 128), 128)
+    per = (2 * q + 8) * Np
+    for tile in (512, 256, 128):
+        if tile * per <= 12 * 2 ** 20:
+            return tile, True
+    for tile in (512, 256, 128):
+        if 10 * tile * Np <= 10 * 2 ** 20:
+            return tile, False
+    return 128, False
+
+
 @functools.partial(jax.jit, static_argnames=("q", "tile_m", "interpret"))
 def row_stats_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21, *,
-                     tile_m: int = 256, interpret: bool = False):
+                     tile_m: int = 0, interpret: bool = False):
     """(row match-sums, row neighbor-counts) in O(M*N) memory.
 
     Returns ``(rowsum [M] f32, below [M] f32)`` where
@@ -133,16 +160,21 @@ def row_stats_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21, *,
     ``below[a] = #{b : hamming(a, b) < thresh}`` (including self when
     thresh > 0). Drives both auto-theta (via sum(rowsum)) and the
     similarity weights, replacing the reference's O(M^2) bit-packed loop
-    with tiled MXU work and O(M) output.
+    with tiled MXU work and O(M) output. ``tile_m=0`` auto-sizes for the
+    VMEM budget (wide alignments shrink the tile).
     """
     M, N = Z.shape
+    unroll = True
+    if tile_m == 0:
+        tile_m, unroll = _plan_tiles(N, q)
     Mp = _round_up(max(M, tile_m), tile_m)
     Np = _round_up(max(N, 128), 128)
     Zp = jnp.zeros((Mp, Np), jnp.int8).at[:M, :N].set(Z.astype(jnp.int8))
     th = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
 
     grid = (Mp // tile_m, Mp // tile_m)
-    kernel = functools.partial(_row_stats_kernel, q=q, n_valid=N)
+    kernel = functools.partial(_row_stats_kernel, q=q, n_valid=N,
+                               unroll=unroll)
     rowsum, below = pl.pallas_call(
         kernel,
         grid=grid,
@@ -226,7 +258,9 @@ def _row_stats_sym_kernel(thresh_ref, za_ref, zb_ref,
 
         tile = _match_tile_cached(ea_ref, zb_ref[:], q).astype(jnp.float32)
     else:
-        tile = _match_tile(za_ref[:], zb_ref[:], q).astype(jnp.float32)
+        # wide-N path: unroll=False keeps one iteration's temporaries live
+        tile = _match_tile(za_ref[:], zb_ref[:], q,
+                           unroll=False).astype(jnp.float32)
     thresh = thresh_ref[0, 0]
     near = ((n_valid - tile) < thresh).astype(jnp.float32)
 
@@ -276,13 +310,16 @@ def row_stats_sym_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21, *,
     """
     M, N = Z.shape
     if tile_m == 0:
-        Npp = _round_up(max(N, 128), 128)
-        tile_m = 512
-        while tile_m > 128 and tile_m * Npp * q > _SCRATCH_BUDGET:
-            tile_m //= 2
+        tile_m, full_unroll = _plan_tiles(N, q)
+    else:
+        full_unroll = _round_up(max(N, 128), 128) * tile_m * q \
+            <= _SCRATCH_BUDGET
     Mp = _round_up(max(M, tile_m), tile_m)
     Np = _round_up(max(N, 128), 128)
-    use_scratch = tile_m * Np * q <= _SCRATCH_BUDGET
+    # scratch (the cached-plane fast path) iff full unroll fits: its
+    # footprint (q*tile*Np planes + q b-side temporaries) matches the
+    # full-unroll budget of _plan_tiles
+    use_scratch = full_unroll and tile_m * Np * q <= _SCRATCH_BUDGET
     Zp = jnp.zeros((Mp, Np), jnp.int8).at[:M, :N].set(Z.astype(jnp.int8))
     th = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
 
@@ -337,7 +374,7 @@ def row_stats_sym_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21, *,
 
 @functools.partial(jax.jit, static_argnames=("q", "tile_m", "interpret"))
 def row_stats_rect_pallas(ZA: jax.Array, ZB: jax.Array, thresh: jax.Array,
-                          q: int = 21, *, tile_m: int = 256,
+                          q: int = 21, *, tile_m: int = 0,
                           interpret: bool = False):
     """Row stats of A's rows against ALL of B's rows (rectangular grid).
 
@@ -350,6 +387,9 @@ def row_stats_rect_pallas(ZA: jax.Array, ZB: jax.Array, thresh: jax.Array,
     Ma, N = ZA.shape
     Mb, Nb = ZB.shape
     assert N == Nb
+    unroll = True
+    if tile_m == 0:
+        tile_m, unroll = _plan_tiles(N, q)
     Map = _round_up(max(Ma, tile_m), tile_m)
     Mbp = _round_up(max(Mb, tile_m), tile_m)
     Np = _round_up(max(N, 128), 128)
@@ -358,7 +398,8 @@ def row_stats_rect_pallas(ZA: jax.Array, ZB: jax.Array, thresh: jax.Array,
     th = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
 
     grid = (Map // tile_m, Mbp // tile_m)
-    kernel = functools.partial(_row_stats_kernel, q=q, n_valid=N)
+    kernel = functools.partial(_row_stats_kernel, q=q, n_valid=N,
+                               unroll=unroll)
     rowsum, below = pl.pallas_call(
         kernel,
         grid=grid,
