@@ -89,6 +89,17 @@ def scores_pipeline(Z, pc, theta_value, *, q: int, score: str,
 
 def _scores_body(Z, pc, theta_value, *, q, score, theta_is_auto, dtype,
                  use_pallas, m_true, n_true=None):
+    C, th, Meff = _stats_body(Z, pc, theta_value, q=q,
+                              theta_is_auto=theta_is_auto, dtype=dtype,
+                              use_pallas=use_pallas, m_true=m_true,
+                              n_true=n_true)
+    S = _solve_score_body(C, q=q, score=score, n_true=n_true)
+    return S, th, Meff
+
+
+def _stats_body(Z, pc, theta_value, *, q, theta_is_auto, dtype,
+                use_pallas, m_true, n_true=None):
+    """Tokens -> (covariance C, resolved theta, Meff)."""
     # jax.named_scope per stage: profiler traces (--profile-dir) group ops
     # under these labels, the observability the reference lacks entirely.
     theta: Union[str, Any] = "auto" if theta_is_auto else theta_value
@@ -125,6 +136,11 @@ def _scores_body(Z, pc, theta_value, *, q, score, theta_is_auto, dtype,
     with jax.named_scope("covariance"):
         Pi, Pij = add_pseudocount(Pi_t, Pij_t, pc, q, n_true=n_true)
         C = compute_C(Pi, Pij, n_true=n_true, q=q)
+    return C, th, Meff
+
+
+def _solve_score_body(C, *, q, score, n_true=None):
+    """Covariance -> APC-corrected score matrix."""
     with jax.named_scope("solve"):
         mJ = spd_inverse(C)
     with jax.named_scope("score"):
@@ -133,7 +149,7 @@ def _scores_body(Z, pc, theta_value, *, q, score, theta_is_auto, dtype,
         else:
             S = frob_score(mJ, q)
         S = correct_apc(S, n_true=n_true)
-    return S, th, Meff
+    return S
 
 
 @functools.partial(
@@ -149,6 +165,37 @@ def _scores_jit(Z, pc, theta_value, *, q: int, score: str,
         Z, pc, theta_value, q=q, score=score, theta_is_auto=theta_is_auto,
         dtype=jnp.dtype(dtype_name), use_pallas=use_pallas, m_true=m_true,
         n_true=n_true, precision=precision)
+
+
+# Above this N*s the single-program pipeline's co-resident (Ns)^2
+# buffers exceed single-chip HBM (measured 19 GB at Ns=20000 vs
+# 15.75 GB); splitting the dispatch frees the statistics buffers before
+# the solve/score stage allocates its own.
+_SPLIT_PIPELINE_MIN_NS = 16384
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("q", "theta_is_auto", "dtype_name", "use_pallas",
+                     "precision"))
+def _stats_jit(Z, pc, theta_value, *, q, theta_is_auto, dtype_name,
+               use_pallas, m_true=None, n_true=None,
+               precision="highest"):
+    dtype = jnp.dtype(dtype_name)
+    with jax.default_matmul_precision(precision):
+        C, th, Meff = _stats_body(
+            Z, pc, theta_value, q=q, theta_is_auto=theta_is_auto,
+            dtype=dtype, use_pallas=use_pallas, m_true=m_true,
+            n_true=n_true)
+    return C, th, Meff
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("q", "score", "precision"))
+def _solve_score_jit(C, *, q, score, n_true=None, precision="highest"):
+    with jax.default_matmul_precision(precision):
+        return _solve_score_body(C, q=q, score=score, n_true=n_true)
 
 
 def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
@@ -180,12 +227,8 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
     Z = jnp.asarray(tokens)
     theta_is_auto = cfg.auto_theta
     theta_value = 0.0 if theta_is_auto else float(cfg.theta)
-    S, th, meff = _scores_jit(
-        Z,
-        jnp.asarray(float(cfg.pseudocount), dtype),
-        jnp.asarray(theta_value, dtype),
+    kw = dict(
         q=q,
-        score=cfg.score,
         theta_is_auto=theta_is_auto,
         dtype_name=dtype.name,
         use_pallas=not cfg.resolve_fallback(),
@@ -193,6 +236,16 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
         n_true=n_true,
         precision=cfg.precision,
     )
+    pc_a = jnp.asarray(float(cfg.pseudocount), dtype)
+    th_a = jnp.asarray(theta_value, dtype)
+    if tokens.shape[1] * (q - 1) >= _SPLIT_PIPELINE_MIN_NS:
+        # wide alignments: two dispatches so the statistics buffers are
+        # freed before the (Ns)^2-heavy solve/score stage allocates
+        C, th, meff = _stats_jit(Z, pc_a, th_a, **kw)
+        S = _solve_score_jit(C, q=q, score=cfg.score, n_true=n_true,
+                             precision=cfg.precision)
+    else:
+        S, th, meff = _scores_jit(Z, pc_a, th_a, score=cfg.score, **kw)
     if n_true is not None:
         S = S[:N_true, :N_true]  # pad scores are exactly zero; drop them
     if top_k is not None:

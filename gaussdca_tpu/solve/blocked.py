@@ -89,18 +89,33 @@ def blocked_cholesky(A: jax.Array, *, block: int = 1024,
 
 
 def tri_inverse_apply(L: jax.Array, *, mesh: Optional[Mesh] = None,
-                      axes: Optional[Sequence[str]] = None) -> jax.Array:
+                      axes: Optional[Sequence[str]] = None,
+                      rhs_chunk: int = 2048) -> jax.Array:
     """inv(A) from its Cholesky factor: solve L L^T X = I.
 
     With a mesh, the identity's columns are sharded over ``axes`` (default
-    all axes) via shard_map — each device runs two local triangular solves
-    against its own column slab; zero communication.
+    all axes) via shard_map — each device runs local triangular solves
+    against its own column slab, lax.map-chunked by ``rhs_chunk`` columns
+    to bound the TRSM's internal live set (see
+    solve/cholesky.chunked_cho_inverse); zero communication.
     """
     n = L.shape[0]
 
     def solve_cols(Lf, eye_cols):
-        y = solve_triangular(Lf, eye_cols, lower=True)
-        return solve_triangular(Lf.T, y, lower=False)
+        ncols = eye_cols.shape[1]
+        if ncols <= rhs_chunk:
+            y = solve_triangular(Lf, eye_cols, lower=True)
+            return solve_triangular(Lf.T, y, lower=False)
+        pad = (-ncols) % rhs_chunk
+        ec = jnp.pad(eye_cols, ((0, 0), (0, pad)))
+        blocks = jnp.moveaxis(ec.reshape(n, -1, rhs_chunk), 1, 0)
+
+        def one(eb):
+            y = solve_triangular(Lf, eb, lower=True)
+            return solve_triangular(Lf.T, y, lower=False)
+
+        X = jax.lax.map(one, blocks)              # [nb, n, rhs_chunk]
+        return jnp.moveaxis(X, 0, 1).reshape(n, -1)[:, :ncols]
 
     if mesh is None:
         inv = solve_cols(L, jnp.eye(n, dtype=L.dtype))

@@ -27,25 +27,70 @@ from jax.scipy.linalg import cho_solve
 
 def newton_refine(C: jax.Array, X: jax.Array, iters: int) -> jax.Array:
     """Newton iterative refinement of an approximate inverse X of C."""
-    eye = jnp.eye(C.shape[0], dtype=C.dtype)
     p = jax.lax.Precision.HIGHEST
+    n = C.shape[0]
+    diag = jnp.arange(n)
     for _ in range(iters):
-        R = eye - jnp.matmul(C, X, precision=p)
+        # R = I - C X without materializing the identity (Ns^2 buffers
+        # are the single-chip HBM bound at wide N)
+        R = -jnp.matmul(C, X, precision=p)
+        R = R.at[diag, diag].add(1.0)
         X = X + jnp.matmul(X, R, precision=p)
         X = (X + X.T) * 0.5
     return X
 
 
-def spd_inverse(C: jax.Array, *, refine_iters: int = None) -> jax.Array:
+def chunked_cho_inverse(L: jax.Array, rhs_chunk: int) -> jax.Array:
+    """inv from a Cholesky factor, solving ``rhs_chunk`` identity columns
+    per lax.map step.
+
+    XLA's TPU TriangularSolve keeps every internal block-step buffer
+    live (~n/128 copies of the full RHS): a one-shot n x n solve at
+    n = 20000 wants ~117 GB of HBM. Chunking the RHS bounds the live
+    set at ~(n/128) * n * rhs_chunk * 4 bytes.
+    """
+    n = L.shape[0]
+    nc = -(-n // rhs_chunk)
+
+    def step(k, X):
+        cols = k * rhs_chunk + jnp.arange(rhs_chunk)
+        E = (jnp.arange(n)[:, None] == cols[None, :]).astype(L.dtype)
+        xk = cho_solve((L, True), E)
+        # in-place carry update: one [n, n] result buffer, no
+        # stack-then-transpose copies
+        return jax.lax.dynamic_update_slice(X, xk, (0, k * rhs_chunk))
+
+    X0 = jnp.zeros((n, nc * rhs_chunk), L.dtype)
+    X = jax.lax.fori_loop(0, nc, step, X0)
+    return X[:, :n]
+
+
+# above this size the one-shot TRSM exceeds single-chip HBM (see
+# chunked_cho_inverse); 8000 (the large-golden width) still fits easily
+_CHUNKED_SOLVE_MIN = 8192
+
+
+def spd_inverse(C: jax.Array, *, refine_iters: int = None,
+                rhs_chunk: int = 0) -> jax.Array:
     """Inverse of a symmetric positive-definite matrix via Cholesky.
 
     ``refine_iters=None`` picks the dtype default: 1 Newton step in f32
     (TPU), 0 in f64 (CPU golden mode, already at working precision).
+    ``rhs_chunk=0`` auto-selects: one-shot solve below 8192, chunked
+    identity columns above (HBM bound, see ``chunked_cho_inverse``).
     """
+    n = C.shape[0]
     L = jnp.linalg.cholesky(C)
-    eye = jnp.eye(C.shape[0], dtype=C.dtype)
-    inv = cho_solve((L, True), eye)
-    inv = (inv + inv.T) * 0.5
+    if rhs_chunk == 0:
+        rhs_chunk = 512 if n > _CHUNKED_SOLVE_MIN else n
+    if rhs_chunk >= n:
+        inv = cho_solve((L, True), jnp.eye(n, dtype=C.dtype))
+    else:
+        inv = chunked_cho_inverse(L, rhs_chunk)
     if refine_iters is None:
         refine_iters = 0 if C.dtype == jnp.float64 else 1
-    return newton_refine(C, inv, refine_iters)
+    if refine_iters:
+        # refine symmetrizes at the end of each step; skipping the
+        # pre-symmetrization saves a live Ns^2 buffer at the peak
+        return newton_refine(C, inv, refine_iters)
+    return (inv + inv.T) * 0.5

@@ -25,6 +25,12 @@ def map_rows(fn: Callable, xs, n_rows: int, chunk: int = 16):
     """
     if n_rows <= chunk:
         return jax.vmap(fn)(xs)
+    # prefer a chunk that divides n_rows: the padding path concatenates a
+    # full copy of xs, a whole extra (N*s)^2 buffer for the score stages
+    for c in range(chunk, 0, -1):
+        if n_rows % c == 0:
+            chunk = c
+            break
     pad = (-n_rows) % chunk
     if pad:
         xs = jax.tree_util.tree_map(
