@@ -78,17 +78,27 @@ def spd_inverse(C: jax.Array, *, refine_iters: int = None,
     (TPU), 0 in f64 (CPU golden mode, already at working precision).
     ``rhs_chunk=0`` auto-selects: one-shot solve below 8192, chunked
     identity columns above (HBM bound, see ``chunked_cho_inverse``).
+
+    The factorization/solve run at DEFAULT matmul precision even under
+    an ambient "highest" context: measured on-chip, multi-pass chol/TRSM
+    is ~35x slower and gives the SAME residual — the f32 accuracy comes
+    from the HIGHEST-precision Newton refinement (and the HIGHEST
+    statistics einsums upstream), not from the factorization passes.
+    f64 (CPU) is unaffected (precision contexts are f32-only).
     """
     n = C.shape[0]
-    L = jnp.linalg.cholesky(C)
-    if rhs_chunk == 0:
-        rhs_chunk = 512 if n > _CHUNKED_SOLVE_MIN else n
-    if rhs_chunk >= n:
-        inv = cho_solve((L, True), jnp.eye(n, dtype=C.dtype))
-    else:
-        inv = chunked_cho_inverse(L, rhs_chunk)
     if refine_iters is None:
         refine_iters = 0 if C.dtype == jnp.float64 else 1
+    fact_prec = "highest" if (C.dtype == jnp.float64 or not refine_iters) \
+        else "default"
+    with jax.default_matmul_precision(fact_prec):
+        L = jnp.linalg.cholesky(C)
+        if rhs_chunk == 0:
+            rhs_chunk = 512 if n > _CHUNKED_SOLVE_MIN else n
+        if rhs_chunk >= n:
+            inv = cho_solve((L, True), jnp.eye(n, dtype=C.dtype))
+        else:
+            inv = chunked_cho_inverse(L, rhs_chunk)
     if refine_iters:
         # refine symmetrizes at the end of each step; skipping the
         # pre-symmetrization saves a live Ns^2 buffer at the peak
