@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "shard the family list round-robin across "
                         "processes (each family still runs on this "
                         "host's devices)")
+    p.add_argument("--merge-output", default=None,
+                   help="additionally write one merged ranking file: "
+                        "'<family> <i> <j> <score>' lines, all families "
+                        "concatenated in batch order")
     p.add_argument("--quiet", action="store_true",
                    help="suppress per-family JSON logs")
     return p
@@ -286,20 +290,28 @@ def main(argv: Optional[List[str]] = None) -> int:
             futures[k] = pool.submit(fasta.read_fasta_alignment,
                                      args.inputs[k], cfg.max_gap_fraction)
 
+    merge_fh = open(args.merge_output, "w") if args.merge_output else None
     try:
         futures = [None] * len(args.inputs)
         _submit(0, futures)
         for k, path in enumerate(args.inputs):
             _submit(k + 1, futures)
             try:
-                run_family(path, cfg, args.output_dir, args.top_k,
-                           args.cache_dir, args.quiet,
-                           msa_future=futures[k], stem=stems[k])
+                out_path = run_family(path, cfg, args.output_dir,
+                                      args.top_k, args.cache_dir,
+                                      args.quiet, msa_future=futures[k],
+                                      stem=stems[k])
+                if merge_fh is not None:
+                    with open(out_path) as fh:
+                        for line in fh:
+                            merge_fh.write(f"{stems[k]} {line}")
             except (ValueError, OSError) as e:
                 n_err += 1
                 print(json.dumps({"family": path, "error": str(e)}),
                       file=sys.stderr, flush=True)
     finally:
+        if merge_fh is not None:
+            merge_fh.close()
         if pool is not None:
             pool.shutdown(wait=False, cancel_futures=True)
         if profile_ctx is not None:

@@ -121,3 +121,21 @@ def test_cache_key_uses_resolved_dtype(tmp_path):
     k32 = _cache_key(str(p), GDCAConfig(dtype="float32"), None)
     k64 = _cache_key(str(p), GDCAConfig(dtype="float64"), None)
     assert k32 != k64
+
+
+def test_merge_output(tmp_path, golden_dir):
+    import os
+    from gaussdca_tpu.cli import main
+    small = os.path.join(golden_dir, "small.fasta.gz")
+    merged = tmp_path / "merged.txt"
+    rc = main([small, small, "-o", str(tmp_path), "--top-k", "5",
+               "--quiet", "--merge-output", str(merged),
+               "--theta", "0.2"])
+    assert rc == 0
+    lines = merged.read_text().splitlines()
+    assert len(lines) == 10
+    fams = {ln.split()[0] for ln in lines}
+    assert fams == {"small", "small.2"}
+    for ln in lines:
+        t = ln.split()
+        assert len(t) == 4 and int(t[1]) >= 1 and float(t[3])

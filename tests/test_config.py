@@ -53,3 +53,34 @@ def test_missing_file_raises():
     from gaussdca_tpu import gdca
     with pytest.raises(ValueError, match="cannot open file"):
         gdca("/nonexistent/path/foo.fasta")
+
+
+def test_q_limit_rejected():
+    """q >= 32 must error like the reference (src/GaussDCA.jl:25-26)."""
+    import numpy as np
+    import pytest
+    from gaussdca_tpu import api
+    from gaussdca_tpu.core.config import GDCAConfig
+    from gaussdca_tpu.io.fasta import MSA
+
+    Z = np.full((4, 6), 32, dtype=np.uint8)
+    msa = MSA(tokens=Z, headers=list("abcd"), q=32)
+    with pytest.raises(ValueError, match="too big"):
+        api.gdca_from_msa(msa, GDCAConfig())
+
+
+def test_q31_boundary_runs():
+    """q = 31 (the 5-bit packing limit) must work through the kernels'
+    fallbacks and the full pipeline."""
+    import numpy as np
+    from gaussdca_tpu import api
+    from gaussdca_tpu.core.config import GDCAConfig
+    from gaussdca_tpu.io.fasta import MSA
+
+    rng = np.random.default_rng(0)
+    Z = rng.integers(1, 32, size=(40, 12), dtype=np.uint8)
+    Z[0, 0] = 31  # pin q
+    msa = MSA(tokens=Z, headers=[f"s{i}" for i in range(40)], q=31)
+    r = api.gdca_from_msa(msa, GDCAConfig(theta=0.3, pseudocount=0.5))
+    assert len(r) == (12 - 5) * (12 - 5 + 1) // 2
+    assert all(np.isfinite(s) for _, _, s in r.ranking)
