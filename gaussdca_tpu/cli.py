@@ -142,11 +142,14 @@ def _output_stems(paths: List[str]) -> List[str]:
 
 def run_family(path: str, cfg: GDCAConfig, out_dir: str,
                top_k: Optional[int], cache_dir: Optional[str],
-               quiet: bool, msa_future=None, stem: str = None) -> str:
+               quiet: bool, msa_future=None, stem: str = None,
+               cache_key: str = None) -> str:
     """Process one family; returns the output path.
 
     ``msa_future``: optional concurrent.futures.Future holding the
     prefetched ingest result (or raising its parse error).
+    ``cache_key``: precomputed ``_cache_key`` (the batch loop computes it
+    for prefetch decisions; avoids hashing the file twice).
     """
     from gaussdca_tpu import api
     from gaussdca_tpu.io import fasta
@@ -163,7 +166,9 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
     cached = None
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
-        cached = os.path.join(cache_dir, _cache_key(path, cfg, top_k))
+        if cache_key is None:
+            cache_key = _cache_key(path, cfg, top_k)
+        cached = os.path.join(cache_dir, cache_key)
         if os.path.exists(cached):
             with open(cached) as fh, open(out_path, "w") as out:
                 out.write(fh.read())
@@ -274,21 +279,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     pool = None if args.no_prefetch else \
         concurrent.futures.ThreadPoolExecutor(max_workers=1)
 
-    def _will_hit_cache(path: str) -> bool:
-        if not args.cache_dir:
-            return False
-        try:
-            return os.path.exists(os.path.join(
-                args.cache_dir, _cache_key(path, cfg, args.top_k)))
-        except OSError:
-            return False
+    cache_keys = [None] * len(args.inputs)
 
     def _submit(k: int, futures) -> None:
         # skip the parse for families the artifact cache will short-circuit
-        if pool is not None and k < len(args.inputs) \
-                and not _will_hit_cache(args.inputs[k]):
-            futures[k] = pool.submit(fasta.read_fasta_alignment,
-                                     args.inputs[k], cfg.max_gap_fraction)
+        # (the key is kept and passed down — the file is hashed only once)
+        if pool is None or k >= len(args.inputs):
+            return
+        if args.cache_dir:
+            try:
+                cache_keys[k] = _cache_key(args.inputs[k], cfg, args.top_k)
+                if os.path.exists(os.path.join(args.cache_dir,
+                                               cache_keys[k])):
+                    return
+            except OSError:
+                pass
+        futures[k] = pool.submit(fasta.read_fasta_alignment,
+                                 args.inputs[k], cfg.max_gap_fraction)
 
     merge_fh = open(args.merge_output, "w") if args.merge_output else None
     try:
@@ -300,7 +307,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 out_path = run_family(path, cfg, args.output_dir,
                                       args.top_k, args.cache_dir,
                                       args.quiet, msa_future=futures[k],
-                                      stem=stems[k])
+                                      stem=stems[k],
+                                      cache_key=cache_keys[k])
                 if merge_fh is not None:
                     with open(out_path) as fh:
                         for line in fh:

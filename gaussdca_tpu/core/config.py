@@ -129,6 +129,14 @@ class GDCAConfig:
         import jax.numpy as jnp
 
         if self.dtype is not None:
-            return jnp.dtype(self.dtype)
+            dt = jnp.dtype(self.dtype)
+            if dt == jnp.dtype("float64") and not jax.config.jax_enable_x64:
+                # without x64, every f64 array silently downcasts to f32 —
+                # fail loudly instead of producing mislabeled results
+                raise ValueError(
+                    "dtype=float64 requires jax x64 mode: call "
+                    'jax.config.update("jax_enable_x64", True) before any '
+                    "computation (CPU only — TPUs have no f64 hardware)")
+            return dt
         return jnp.dtype(jnp.float64 if jax.config.jax_enable_x64
                          else jnp.float32)

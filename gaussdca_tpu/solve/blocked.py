@@ -153,18 +153,11 @@ def spd_inverse_blocked(C: jax.Array, *, block: int = 1024,
     if refine_iters is None:
         refine_iters = 0 if C.dtype == jnp.float64 else 1
     if refine_iters:
+        constrain = None
         if mesh is not None:
             names = tuple(axes) if axes is not None else \
                 tuple(mesh.axis_names)
             spec = jax.sharding.NamedSharding(mesh, P(names, None))
-            eye = jnp.eye(C.shape[0], dtype=C.dtype)
-            p = jax.lax.Precision.HIGHEST
-            for _ in range(refine_iters):
-                R = eye - jax.lax.with_sharding_constraint(
-                    jnp.matmul(C, X, precision=p), spec)
-                X = X + jax.lax.with_sharding_constraint(
-                    jnp.matmul(X, R, precision=p), spec)
-                X = 0.5 * (X + X.T)
-        else:
-            X = newton_refine(C, X, refine_iters)
+            constrain = lambda x: jax.lax.with_sharding_constraint(x, spec)
+        X = newton_refine(C, X, refine_iters, constrain=constrain)
     return X

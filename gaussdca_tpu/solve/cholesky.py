@@ -25,17 +25,24 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cho_solve
 
 
-def newton_refine(C: jax.Array, X: jax.Array, iters: int) -> jax.Array:
-    """Newton iterative refinement of an approximate inverse X of C."""
+def newton_refine(C: jax.Array, X: jax.Array, iters: int,
+                  constrain=None) -> jax.Array:
+    """Newton iterative refinement of an approximate inverse X of C.
+
+    ``constrain`` (optional) is applied to each matmul product — the
+    mesh-sharded caller passes a sharding-constraint function so the
+    refinement matmuls distribute (solve/blocked.py).
+    """
     p = jax.lax.Precision.HIGHEST
     n = C.shape[0]
     diag = jnp.arange(n)
+    ident = constrain if constrain is not None else (lambda x: x)
     for _ in range(iters):
         # R = I - C X without materializing the identity (Ns^2 buffers
         # are the single-chip HBM bound at wide N)
-        R = -jnp.matmul(C, X, precision=p)
+        R = -ident(jnp.matmul(C, X, precision=p))
         R = R.at[diag, diag].add(1.0)
-        X = X + jnp.matmul(X, R, precision=p)
+        X = X + ident(jnp.matmul(X, R, precision=p))
         X = (X + X.T) * 0.5
     return X
 
