@@ -210,6 +210,11 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
     q = msa.q
     if q >= MAX_Q + 1:
         raise ValueError(f"parameter q={q} is too big (max {MAX_Q} is allowed)")
+    if q < 2:
+        # a single-state alignment has an empty reduced alphabet (s = 0):
+        # no statistics exist to estimate
+        raise ValueError(
+            f"alignment uses only {q} symbol(s); at least 2 are required")
 
     dtype = cfg.resolve_dtype()
     tokens = msa.tokens

@@ -84,3 +84,36 @@ def test_q31_boundary_runs():
     r = api.gdca_from_msa(msa, GDCAConfig(theta=0.3, pseudocount=0.5))
     assert len(r) == (12 - 5) * (12 - 5 + 1) // 2
     assert all(np.isfinite(s) for _, _, s in r.ranking)
+
+
+def test_degenerate_alignments():
+    """Tiny / pathological MSAs must run or fail with clear errors."""
+    import numpy as np
+    import pytest
+    from gaussdca_tpu import api
+    from gaussdca_tpu.core.config import GDCAConfig
+    from gaussdca_tpu.io.fasta import MSA
+
+    def run(Z, q, **kw):
+        msa = MSA(tokens=np.asarray(Z, np.uint8),
+                  headers=[f"s{i}" for i in range(len(Z))], q=q)
+        return api.gdca_from_msa(msa, GDCAConfig(**kw))
+
+    # single sequence: uniform weight, pseudocount keeps C SPD
+    r = run(np.tile([1, 2, 3, 4, 5, 6, 7, 8], (1, 1)), 8, theta=0.2,
+            pseudocount=0.5, min_separation=1)
+    assert len(r) == 8 * 7 // 2 and r.meff == 1.0
+
+    # two identical sequences, auto-theta: mfi=1 -> theta=0.1216.
+    # at N=8 the threshold floors to 0 -> no neighbors -> Meff=2
+    Z = np.tile(np.arange(1, 9, dtype=np.uint8), (2, 1))
+    r = run(Z, 8, pseudocount=0.5, min_separation=1)
+    assert r.theta == pytest.approx(0.1216) and r.meff == 2.0
+    # at N=16 the threshold is 1 -> each counts its twin -> W=1/2 each
+    Z = np.tile(np.arange(1, 17, dtype=np.uint8) % 8 + 1, (2, 1))
+    r = run(Z, 8, pseudocount=0.5, min_separation=1)
+    assert r.meff == 1.0
+
+    # single-state alignment: no reduced alphabet
+    with pytest.raises(ValueError, match="at least 2"):
+        run(np.ones((4, 6)), 1, pseudocount=0.5)
