@@ -86,8 +86,17 @@ def format_rank(R: Ranking) -> str:
     return "".join(f"{i} {j} {x:e}\n" for i, j, x in R)
 
 
-def printrank(out: Union[str, IO[str]], R: Ranking) -> None:
-    """Write a ranking to a path or text IO (src/GaussDCA.jl:67-74)."""
+def printrank(out: Union[str, IO[str], Ranking], R: Ranking = None) -> None:
+    """Write a ranking to a path or text IO (src/GaussDCA.jl:67-74).
+
+    ``printrank(R)`` with the output omitted writes to stdout — the form
+    the reference documents (its own no-output method referenced the
+    pre-1.0 ``STDOUT`` name and was broken on Julia >= 1.0; implemented
+    correctly here rather than replicated).
+    """
+    if R is None:
+        import sys
+        out, R = sys.stdout, out
     if isinstance(out, str):
         with open(out, "w") as fh:
             fh.write(format_rank(R))

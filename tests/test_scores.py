@@ -189,3 +189,12 @@ def test_pipeline_deterministic():
     S1, _, _ = scores_pipeline(*args, **kw)
     S2, _, _ = scores_pipeline(*args, **kw)
     assert np.array_equal(np.asarray(S1), np.asarray(S2))
+
+
+def test_printrank_stdout(capsys):
+    """printrank(R) with output omitted writes to stdout — the documented
+    reference behavior (its own implementation of this arm was broken)."""
+    from gaussdca_tpu.score.rank import printrank
+    printrank([(1, 7, 2.5), (2, 9, -0.125)])
+    outp = capsys.readouterr().out
+    assert outp == "1 7 2.500000e+00\n2 9 -1.250000e-01\n"
