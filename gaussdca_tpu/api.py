@@ -93,7 +93,8 @@ def _scores_body(Z, pc, theta_value, *, q, score, theta_is_auto, dtype,
                               theta_is_auto=theta_is_auto, dtype=dtype,
                               use_pallas=use_pallas, m_true=m_true,
                               n_true=n_true)
-    S = _solve_score_body(C, q=q, score=score, n_true=n_true)
+    S = _solve_score_body(C, q=q, score=score, n_true=n_true,
+                          use_pallas=use_pallas)
     return S, th, Meff
 
 
@@ -139,13 +140,13 @@ def _stats_body(Z, pc, theta_value, *, q, theta_is_auto, dtype,
     return C, th, Meff
 
 
-def _solve_score_body(C, *, q, score, n_true=None):
+def _solve_score_body(C, *, q, score, n_true=None, use_pallas=None):
     """Covariance -> APC-corrected score matrix."""
     with jax.named_scope("solve"):
         mJ = spd_inverse(C)
     with jax.named_scope("score"):
         if score == "DI":
-            S = di_score(mJ, C, q)
+            S = di_score(mJ, C, q, use_pallas=use_pallas)
         else:
             S = frob_score(mJ, q)
         S = correct_apc(S, n_true=n_true)
@@ -192,10 +193,12 @@ def _stats_jit(Z, pc, theta_value, *, q, theta_is_auto, dtype_name,
 
 @functools.partial(
     jax.jit, donate_argnums=(0,),
-    static_argnames=("q", "score", "precision"))
-def _solve_score_jit(C, *, q, score, n_true=None, precision="highest"):
+    static_argnames=("q", "score", "precision", "use_pallas"))
+def _solve_score_jit(C, *, q, score, n_true=None, precision="highest",
+                     use_pallas=None):
     with jax.default_matmul_precision(precision):
-        return _solve_score_body(C, q=q, score=score, n_true=n_true)
+        return _solve_score_body(C, q=q, score=score, n_true=n_true,
+                                 use_pallas=use_pallas)
 
 
 def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
@@ -248,7 +251,8 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
         # freed before the (Ns)^2-heavy solve/score stage allocates
         C, th, meff = _stats_jit(Z, pc_a, th_a, **kw)
         S = _solve_score_jit(C, q=q, score=cfg.score, n_true=n_true,
-                             precision=cfg.precision)
+                             precision=cfg.precision,
+                             use_pallas=not cfg.resolve_fallback())
     else:
         S, th, meff = _scores_jit(Z, pc_a, th_a, score=cfg.score, **kw)
     if n_true is not None:

@@ -100,13 +100,37 @@ def site_cholesky(C: jax.Array, q: int) -> jax.Array:
     return jnp.linalg.cholesky(Cii)
 
 
-def _di_pairs(Jb: jax.Array, Li: jax.Array, Lj: jax.Array) -> jax.Array:
+def _sqrtm_fused(G: jax.Array, refine_steps: int = 2) -> jax.Array:
+    """sqrt(G) via the fused Pallas NS kernel + HIGHEST-precision polish.
+
+    The kernel iterates at single-pass precision (ops/di_kernel.py);
+    ``refine_steps`` coupled NS steps at HIGHEST precision quadratically
+    contract the bf16-floored error back into the f32 envelope.
+    """
+    from gaussdca_tpu.ops.di_kernel import ns_sqrtm_pallas
+
+    s = G.shape[-1]
+    Y, Z, c = ns_sqrtm_pallas(G)
+    eye = _batch_eye(s, G.shape[:-2], G.dtype)
+    p = jax.lax.Precision.HIGHEST
+    for _ in range(refine_steps):
+        T = 1.5 * eye - 0.5 * jnp.einsum("pij,pjk->pik", Z, Y, precision=p)
+        Y = jnp.einsum("pij,pjk->pik", Y, T, precision=p)
+        Z = jnp.einsum("pij,pjk->pik", T, Z, precision=p)
+    return Y * jnp.sqrt(c.astype(G.dtype))
+
+
+def _di_pairs(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
+              use_pallas: bool = False) -> jax.Array:
     """DI of a flat batch of pairs. Jb, Li, Lj: [P, s, s] -> [P]."""
     s = Jb.shape[-1]
     rho = jnp.einsum("pba,pbc,pcd->pad", Li, Jb, Lj)
     G = jnp.einsum("pab,pcb->pac", rho, rho)
     G = 4.0 * G + _batch_eye(s, G.shape[:-2], G.dtype)
-    S = sqrtm_spd(G)
+    if use_pallas and G.dtype == jnp.float32:
+        S = _sqrtm_fused(G)
+    else:
+        S = sqrtm_spd(G)
     half = 0.5 * (S + _batch_eye(s, S.shape[:-2], S.dtype))
     # exact symmetry guard for the final Cholesky
     half = 0.5 * (half + jnp.swapaxes(half, -1, -2))
@@ -114,8 +138,21 @@ def _di_pairs(Jb: jax.Array, Li: jax.Array, Lj: jax.Array) -> jax.Array:
 
 
 def di_score(mJ: jax.Array, C: jax.Array, q: int,
-             *, pair_chunk: int = 65536) -> jax.Array:
-    """S [N, N]: Gaussian direct information per position pair."""
+             *, pair_chunk: int = 65536,
+             use_pallas: bool = None) -> jax.Array:
+    """S [N, N]: Gaussian direct information per position pair.
+
+    ``use_pallas`` selects the fused NS-sqrtm kernel for the f32 path.
+    Default OFF even on TPU: measured on-chip it is only ~10% faster
+    end-to-end but costs ~5 minutes of Mosaic compile per shape class
+    (14 statically-unrolled HIGHEST batched dots) — a bad trade for
+    batch mode. Opt in with GDCA_DI_FUSED=1 for single-family
+    latency-insensitive-compile workloads.
+    """
+    if use_pallas is None or use_pallas is True:
+        import os
+        from gaussdca_tpu.ops.dispatch import _on_tpu
+        use_pallas = bool(os.environ.get("GDCA_DI_FUSED")) and _on_tpu()
     s = q - 1
     Ns = mJ.shape[0]
     N = Ns // s
@@ -129,7 +166,7 @@ def di_score(mJ: jax.Array, C: jax.Array, q: int,
     Lj = Lsite[ju]
 
     if P <= pair_chunk:
-        di = _di_pairs(Jb, Li, Lj)
+        di = _di_pairs(Jb, Li, Lj, use_pallas)
     else:
         # balance the chunks: ceil-split P over the minimum chunk count
         # (lane-aligned) instead of padding the tail to a full pair_chunk
@@ -143,7 +180,8 @@ def di_score(mJ: jax.Array, C: jax.Array, q: int,
                 [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
         blocks = jax.tree_util.tree_map(
             lambda x: padz(x).reshape(-1, chunk, s, s), (Jb, Li, Lj))
-        di = jax.lax.map(lambda a: _di_pairs(*a), blocks).reshape(-1)[:P]
+        di = jax.lax.map(lambda a: _di_pairs(*a, use_pallas),
+                         blocks).reshape(-1)[:P]
 
     S = jnp.zeros((N, N), mJ.dtype)
     S = S.at[iu, ju].set(di)
