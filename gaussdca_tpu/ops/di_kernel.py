@@ -54,14 +54,21 @@ def _ns_kernel(g_ref, y_ref, z_ref, *, iters: int, s: int):
                 axis=1, keepdims=True)            # [tp, 1, 1]
     eye = jnp.broadcast_to(diag, (tp, s, s))
 
-    Y = G / c
-    Z = eye
-    for _ in range(iters):
+    # rolled loop with the iterates carried in the OUTPUT refs (Mosaic
+    # rejects 3-D array tuples as fori carries, and 14 statically
+    # unrolled HIGHEST batched dots took ~5 minutes to compile)
+    y_ref[:] = G / c
+    z_ref[:] = eye
+
+    def step(_, tok):
+        Y = y_ref[:]
+        Z = z_ref[:]
         T = 1.5 * eye - 0.5 * _bdot(Z, Y)
-        Y = _bdot(Y, T)
-        Z = _bdot(T, Z)
-    y_ref[:] = Y
-    z_ref[:] = Z
+        y_ref[:] = _bdot(Y, T)
+        z_ref[:] = _bdot(T, Z)
+        return tok
+
+    jax.lax.fori_loop(0, iters, step, 0, unroll=1)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "tile_p",
