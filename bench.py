@@ -123,25 +123,28 @@ def bench_family(M=5000, N=200, q=21, reps=3):
     return out
 
 
-def bench_cpu_baseline(M=4096, N=384, q=21):
+def bench_cpu_baseline(M=4096, N=384, q=21, reps=3):
     """NumPy/BLAS one-hot sgemm + threshold counts: the CPU stand-in for
-    the reference's threaded Hamming loop, on this same host."""
+    the reference's threaded Hamming loop, on this same host. Best of
+    ``reps`` (shared-host BLAS timing is noisy; the fastest run is the
+    fairest baseline, i.e. the most conservative speedup ratio)."""
     rng = np.random.default_rng(0)
     Z = rng.integers(1, q + 1, size=(M, N), dtype=np.int8)
-    t0 = time.perf_counter()
-    E = np.zeros((M, N * q), dtype=np.float32)
-    idx = (np.arange(N) * q)[None, :] + (Z - 1)
-    np.put_along_axis(E.reshape(M, N, q),
-                      (Z - 1)[:, :, None].astype(np.int64), 1.0, axis=2)
-    D = E @ E.T
-    thresh = float(int(0.2 * N))
-    below = ((N - D) < thresh).sum(1)
-    _ = 1.0 / (1.0 + np.maximum(below - 1, 0))
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        E = np.zeros((M, N * q), dtype=np.float32)
+        np.put_along_axis(E.reshape(M, N, q),
+                          (Z - 1)[:, :, None].astype(np.int64), 1.0, axis=2)
+        D = E @ E.T
+        thresh = float(int(0.2 * N))
+        below = ((N - D) < thresh).sum(1)
+        _ = 1.0 / (1.0 + np.maximum(below - 1, 0))
+        best = min(best, time.perf_counter() - t0)
     pairs = M * (M - 1) / 2
-    log(f"[bench] cpu-baseline (numpy/BLAS one-hot sgemm) M={M} N={N}: "
-        f"{dt:.3f}s -> {pairs / dt:.3e} pairs/s")
-    return pairs / dt
+    log(f"[bench] cpu-baseline (numpy/BLAS one-hot sgemm, best of {reps}) "
+        f"M={M} N={N}: {best:.3f}s -> {pairs / best:.3e} pairs/s")
+    return pairs / best
 
 
 def main():
