@@ -21,4 +21,7 @@ def correct_apc(S: jax.Array, n_true=None) -> jax.Array:
     Si = jnp.sum(S, axis=0, keepdims=True)   # [1, N]
     Sj = jnp.sum(S, axis=1, keepdims=True)   # [N, 1]
     Sa = jnp.sum(S) * (1.0 - 1.0 / N)
-    return S - (Sj * Si) / Sa
+    # identically-zero scores (e.g. q=2, where the zero-sum gauge
+    # annihilates the single reduced coupling) would make this 0/0
+    safe = jnp.where(Sa == 0, 1.0, Sa)
+    return S - (Sj * Si) / safe

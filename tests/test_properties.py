@@ -107,3 +107,61 @@ def test_ranking_pair_count_formula():
         scores = [x for _, _, x in R]
         assert scores == sorted(scores, reverse=True)
         assert all(j - i >= m for i, j, _ in R)
+
+
+# -- hypothesis-driven invariants (derandomized for CI stability) --------
+
+from hypothesis import given, settings, strategies as st
+
+_h = settings(deadline=None, max_examples=25, derandomize=True)
+
+
+@_h
+@given(st.integers(2, 12), st.integers(5, 40), st.integers(6, 30),
+       st.one_of(st.just("auto"),
+                 st.floats(0, 1, allow_nan=False).map(lambda x: round(x, 3))),
+       st.integers(0, 2 ** 31 - 1))
+def test_hyp_weight_invariants(q, M, N, theta, seed):
+    import numpy as np
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    W, Meff, th = reweight.compute_weights(Z, theta)
+    W = np.asarray(W)
+    assert ((W > 0) & (W <= 1)).all()
+    assert 0 < float(Meff) <= M + 1e-9
+    assert 0.0 <= float(th) <= 1.0
+
+
+@_h
+@given(st.integers(2, 10), st.integers(3, 30), st.integers(4, 16),
+       st.floats(0.01, 0.99), st.integers(0, 2 ** 31 - 1))
+def test_hyp_covariance_spd_and_scores_finite(q, M, N, pc, seed):
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussdca_tpu.api import scores_pipeline
+    rng = np.random.default_rng(seed)
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    S, th, meff = scores_pipeline(
+        Z, jnp.asarray(pc, jnp.float64), jnp.asarray(0.2, jnp.float64),
+        q=q, score="frob", theta_is_auto=False, dtype=jnp.float64,
+        use_pallas=False)
+    S = np.asarray(S)
+    assert np.isfinite(S).all()
+    np.testing.assert_allclose(S, S.T, atol=1e-10)
+
+
+@_h
+@given(st.integers(5, 60), st.integers(1, 8), st.integers(0, 2 ** 31 - 1))
+def test_hyp_ranking_contract(N, m, seed):
+    import numpy as np
+    from gaussdca_tpu.score.rank import compute_ranking
+    if m >= N:
+        return
+    rng = np.random.default_rng(seed)
+    S = rng.standard_normal((N, N))
+    R = compute_ranking(S, m)
+    assert len(R) == (N - m) * (N - m + 1) // 2
+    assert all(1 <= i < j <= N and j - i >= m for i, j, _ in R)
+    scores = [x for _, _, x in R]
+    assert scores == sorted(scores, reverse=True)
