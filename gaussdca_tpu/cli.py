@@ -297,7 +297,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         futures[k] = pool.submit(fasta.read_fasta_alignment,
                                  args.inputs[k], cfg.max_gap_fraction)
 
-    merge_fh = open(args.merge_output, "w") if args.merge_output else None
+    merge_fh = None
+    if args.merge_output:
+        parent = os.path.dirname(os.path.abspath(args.merge_output))
+        os.makedirs(parent, exist_ok=True)
+        merge_fh = open(args.merge_output, "w")
     try:
         futures = [None] * len(args.inputs)
         _submit(0, futures)

@@ -127,7 +127,7 @@ def test_merge_output(tmp_path, golden_dir):
     import os
     from gaussdca_tpu.cli import main
     small = os.path.join(golden_dir, "small.fasta.gz")
-    merged = tmp_path / "merged.txt"
+    merged = tmp_path / "new_subdir" / "merged.txt"  # parent must be created
     rc = main([small, small, "-o", str(tmp_path), "--top-k", "5",
                "--quiet", "--merge-output", str(merged),
                "--theta", "0.2"])
