@@ -27,3 +27,40 @@ def test_planted_pairs_recovered(score, pc):
     assert hits == len(planted), (
         f"recovered only {hits}/{len(planted)}: top={sorted(top)} "
         f"planted={planted}")
+
+
+def test_recovery_with_phylogenetic_redundancy():
+    """Planted pairs must still surface when the MSA is dominated by
+    near-duplicate (phylogenetically clustered) sequences — the regime
+    sequence reweighting exists for."""
+    import numpy as np
+    from gaussdca_tpu import api
+    from gaussdca_tpu.core.config import GDCAConfig
+    from gaussdca_tpu.io.fasta import MSA
+
+    rng = np.random.default_rng(11)
+    q, N = 21, 40
+    n_founders, copies = 40, 20
+    founders = rng.integers(1, q + 1, size=(n_founders, N), dtype=np.int8)
+    # plant covariation among the founders
+    pairs = [(3, 11), (8, 20), (15, 33)]
+    for (i, j) in pairs:
+        perm = rng.permutation(q) + 1
+        founders[:, j - 1] = perm[founders[:, i - 1] - 1]
+    # each founder spawns near-duplicates (2% mutations) — a crude
+    # star phylogeny that floods the MSA with redundancy
+    rows = []
+    for f in founders:
+        for _ in range(copies):
+            child = f.copy()
+            mut = rng.random(N) < 0.02
+            child[mut] = rng.integers(1, q + 1, size=mut.sum())
+            rows.append(child)
+    Z = np.stack(rows)
+    msa = MSA(tokens=Z, headers=[f"s{k}" for k in range(len(Z))], q=q)
+    res = api.gdca_from_msa(msa, GDCAConfig(pseudocount=0.8))
+    # reweighting collapses each cluster: Meff far below M
+    assert res.meff < len(Z) / 4
+    top = {(i, j) for i, j, _ in res.ranking[:len(pairs)]}
+    hits = sum(1 for p in pairs if p in top)
+    assert hits == len(pairs), (res.ranking[:5], pairs, res.meff, res.theta)
