@@ -67,15 +67,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-dir", default=None,
                    help="content-addressed artifact cache; unchanged "
                         "(file, params) pairs are skipped")
-    p.add_argument("--m-bucket", type=int, default=0,
+    p.add_argument("--m-bucket", type=int, default=256,
                    help="pad sequence counts to this multiple so similar-"
                         "depth families share compiled programs (0 = exact "
-                        "shapes)")
-    p.add_argument("--n-bucket", type=int, default=0,
+                        "shapes; results are identical either way)")
+    p.add_argument("--n-bucket", type=int, default=32,
                    help="pad alignment widths to this multiple (padding "
-                        "decouples exactly from the statistics); combined "
-                        "with --m-bucket one compiled program serves a "
-                        "whole (M, N) shape class")
+                        "decouples exactly from the statistics; results "
+                        "are identical); combined with --m-bucket one "
+                        "compiled program serves a whole (M, N) shape "
+                        "class")
     p.add_argument("--compile-cache", default="auto",
                    help="persistent XLA compilation cache dir; 'auto' = "
                         "~/.cache/gaussdca_tpu/xla, 'none' disables")
