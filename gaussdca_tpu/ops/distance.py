@@ -372,6 +372,141 @@ def row_stats_sym_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21, *,
     return rowsum[:M], below[:M]
 
 
+def _row_stats_sym_e8_kernel(thresh_ref, ea_ref, eb_ref,
+                             rs_row_ref, cnt_row_ref,
+                             rs_col_ref, cnt_col_ref, acc_ref,
+                             *, n_valid: int, T: int, nk: int):
+    """Grid cell (i, j', k): one K-slab of tile (i, b=(i+j') mod T).
+
+    Same circulant covering and output contract as
+    ``_row_stats_sym_kernel``, but the operands are precomputed one-hot
+    planes (E8) — a single int8 matmul per slab, no VPU expansion. The
+    match tile accumulates across the k axis in a VMEM scratch; row/col
+    reductions fire on the last slab.
+    """
+    i = pl.program_id(0)
+    jp = pl.program_id(1)
+    k = pl.program_id(2)
+
+    part = jax.lax.dot_general(
+        ea_ref[:], eb_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(k != 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(k == nk - 1)
+    def _():
+        tile = acc_ref[:].astype(jnp.float32)
+        thresh = thresh_ref[0, 0]
+        near = ((n_valid - tile) < thresh).astype(jnp.float32)
+        if T % 2 == 0:
+            live = jnp.where((jp != T // 2) | (i < T // 2), 1.0, 0.0)
+        else:
+            live = 1.0
+        rs = jnp.sum(tile, axis=1, keepdims=True) * live
+        cnt = jnp.sum(near, axis=1, keepdims=True) * live
+        col_live = live * jnp.where(jp == 0, 0.0, 1.0)
+        rs_c = jnp.sum(tile, axis=0)[:, None] * col_live
+        cnt_c = jnp.sum(near, axis=0)[:, None] * col_live
+        slot = jax.lax.broadcasted_iota(
+            jnp.int32, rs_col_ref.shape, 1) == jp
+
+        @pl.when(jp == 0)
+        def _():
+            rs_row_ref[:] = rs
+            cnt_row_ref[:] = cnt
+            rs_col_ref[:] = jnp.zeros_like(rs_col_ref)
+            cnt_col_ref[:] = jnp.zeros_like(cnt_col_ref)
+
+        @pl.when(jp != 0)
+        def _():
+            rs_row_ref[:] = rs_row_ref[:] + rs
+            cnt_row_ref[:] = cnt_row_ref[:] + cnt
+            rs_col_ref[:] = jnp.where(slot, rs_c, rs_col_ref[:])
+            cnt_col_ref[:] = jnp.where(slot, cnt_c, cnt_col_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("q", "tile_m", "kblk",
+                                             "interpret"))
+def row_stats_sym_e8_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21,
+                            *, tile_m: int = 512, kblk: int = 2688,
+                            interpret: bool = False):
+    """Symmetry-halved row stats over a PRECOMPUTED one-hot plane matrix.
+
+    Same contract as ``row_stats_sym_pallas``. Trades M*N*q bytes of HBM
+    for zero in-kernel one-hot expansion: the kernel is a pure int8
+    matmul over K = N*q, K-blocked to fit VMEM.
+
+    MEASURED SLOWER than the token-reading kernel and NOT dispatched by
+    default: at M=32768/N=384 it reaches 263 TF-equiv vs 336 — the
+    plane tiles are ~21x larger than token tiles, so the kernel is
+    DMA-bound (~35 GB per pass at the bench shape). Retained as a
+    tested alternative: it becomes interesting only if the VPU
+    expansion cost grows (much larger alphabets) or HBM bandwidth
+    outpaces the VPU in future hardware.
+    """
+    M, N = Z.shape
+    Mp = _round_up(max(M, tile_m), tile_m)
+    Kp = _round_up(max(N * q, kblk), kblk)
+    # one-hot planes, position-major K = n*q + (c-1); token 0 -> all zero
+    states = jnp.arange(1, q + 1, dtype=jnp.int32)
+    E8 = (Z.astype(jnp.int32)[:, :, None] == states).astype(
+        jnp.int8).reshape(M, N * q)
+    E8 = jnp.zeros((Mp, Kp), jnp.int8).at[:M, :N * q].set(E8)
+    th = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
+
+    T = Mp // tile_m
+    J = T // 2 + 1 if T % 2 == 0 else (T + 1) // 2
+    nk = Kp // kblk
+    grid = (T, J, nk)
+    kernel = functools.partial(_row_stats_sym_e8_kernel, n_valid=N, T=T,
+                               nk=nk)
+    row_spec = pl.BlockSpec((tile_m, 1), lambda i, jp, k: (i, 0))
+    col_spec = pl.BlockSpec((tile_m, J), lambda i, jp, k: (i, 0))
+    rs_row, cnt_row, rs_col, cnt_col = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, jp, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_m, kblk), lambda i, jp, k: (i, k)),
+            pl.BlockSpec((tile_m, kblk),
+                         lambda i, jp, k: ((i + jp) % T, k)),
+        ],
+        out_specs=(row_spec, row_spec, col_spec, col_spec),
+        out_shape=(jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((Mp, J), jnp.float32),
+                   jax.ShapeDtypeStruct((Mp, J), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_m), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * (Mp // 2 + tile_m) * N * q,
+            bytes_accessed=T * J * nk * 2 * tile_m * kblk + 16 * Mp * J,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(th, E8, E8)
+
+    b_idx = (jnp.arange(T)[:, None] + jnp.arange(J)[None, :]) % T
+    seg = b_idx.reshape(-1)
+
+    def fold(row_part, col_part):
+        out = row_part.reshape(T, tile_m)
+        flat = col_part.reshape(T, tile_m, J).transpose(0, 2, 1)
+        out = out + jax.ops.segment_sum(
+            flat.reshape(T * J, tile_m), seg, num_segments=T)
+        return out.reshape(Mp)
+
+    return fold(rs_row, rs_col)[:M], fold(cnt_row, cnt_col)[:M]
+
+
 @functools.partial(jax.jit, static_argnames=("q", "tile_m", "interpret"))
 def row_stats_rect_pallas(ZA: jax.Array, ZB: jax.Array, thresh: jax.Array,
                           q: int = 21, *, tile_m: int = 0,

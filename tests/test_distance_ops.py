@@ -103,3 +103,20 @@ def test_row_stats_values():
     np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
     np.testing.assert_allclose(np.asarray(below),
                                ((N - D) < thresh).sum(1))
+
+
+@pytest.mark.parametrize("M,tile,kblk", [
+    (40, 128, 256),    # T = 1, K padded
+    (300, 128, 128),   # odd T
+    (1000, 128, 256),  # even T (half-column case), K padding
+])
+def test_row_stats_sym_e8_matches_dense(M, tile, kblk):
+    rng = np.random.default_rng(M + 1)
+    N, q = 37, 21
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    D = np.asarray(reweight.match_counts(Z))
+    thresh = 9.0
+    rowsum, below = distance.row_stats_sym_e8_pallas(
+        Z, jnp.float32(thresh), q, tile_m=tile, kblk=kblk, interpret=True)
+    np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
+    np.testing.assert_allclose(np.asarray(below), ((N - D) < thresh).sum(1))
