@@ -112,10 +112,12 @@ def _cache_key(path: str, cfg: GDCAConfig, top_k: Optional[int]) -> str:
     with open(path, "rb") as fh:
         h.update(fh.read())
     # the RESOLVED dtype: f32 and f64 runs of the same family must not
-    # share an artifact (cfg.dtype=None resolves per-backend)
+    # share an artifact (cfg.dtype=None resolves per-backend). Buckets
+    # are included too: bucketed scores match exact-shape scores only to
+    # f.p. summation order, so the %e-formatted text can differ.
     key = (cfg.pseudocount, cfg.theta, cfg.max_gap_fraction, cfg.score,
            cfg.min_separation, cfg.remove_dups, cfg.resolve_dtype().name,
-           top_k)
+           cfg.m_bucket, cfg.n_bucket, top_k)
     h.update(repr(key).encode())
     return h.hexdigest()
 

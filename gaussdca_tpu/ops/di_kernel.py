@@ -7,15 +7,19 @@ for 20 x 20 blocks is lowering-bound, not FLOP-bound); fusing the whole
 iteration into one Pallas kernel that keeps the blocks in VMEM measured
 ~3.3x faster.
 
-Precision scheme (validated against the golden DI files): the fused
-iterations run at single-pass (bf16-multiply) precision, which floors
-the result at ~bf16 eps; the caller then applies 1-2 coupled NS steps
-OUTSIDE the kernel at HIGHEST precision — the iteration is
-self-correcting and quadratically convergent, so the final error is
-O(err_in^2) + f32 noise, restoring the f32 envelope at ~1/7 the cost of
-running everything at HIGHEST.
+Precision: the in-kernel dots run at HIGHEST (multi-pass f32) — a
+single-pass (bf16) variant with a HIGHEST polish outside the kernel was
+tried and REJECTED: coupled NS is only first-order self-correcting
+against non-commuting perturbations, so the polish cannot contract the
+bf16 floor (measured 2.9e-2 golden DI error; see docs/ROADMAP.md). With
+HIGHEST dots the kernel reproduces the golden envelope exactly (9.6e-5)
+and compiles in ~67 s per shape class (rolled loop) — which is why it
+is opt-in (GDCA_DI_FUSED=1), the XLA path compiling in seconds at only
+~10% lower end-to-end throughput.
 
-The pure-jnp twin is ``score.di.sqrtm_spd`` (used for f64/CPU and under
+The iteration count is FIXED (no convergence monitor in-kernel); the
+caller adds polish steps outside as insurance (score/di.py). The
+pure-jnp twin is ``score.di.sqrtm_spd`` (used for f64/CPU and under
 force_fallback).
 """
 
@@ -73,7 +77,7 @@ def _ns_kernel(g_ref, y_ref, z_ref, *, iters: int, s: int):
 
 @functools.partial(jax.jit, static_argnames=("iters", "tile_p",
                                              "interpret"))
-def ns_sqrtm_pallas(G: jax.Array, *, iters: int = 14, tile_p: int = 128,
+def ns_sqrtm_pallas(G: jax.Array, *, iters: int = 18, tile_p: int = 128,
                     interpret: bool = False):
     """(Y, Z, c): Y ~ sqrt(G/c), Z ~ (G/c)^{-1/2}, c = per-block trace.
 

@@ -101,11 +101,14 @@ def site_cholesky(C: jax.Array, q: int) -> jax.Array:
 
 
 def _sqrtm_fused(G: jax.Array, refine_steps: int = 2) -> jax.Array:
-    """sqrt(G) via the fused Pallas NS kernel + HIGHEST-precision polish.
+    """sqrt(G) via the fused Pallas NS kernel (ops/di_kernel.py).
 
-    The kernel iterates at single-pass precision (ops/di_kernel.py);
-    ``refine_steps`` coupled NS steps at HIGHEST precision quadratically
-    contract the bf16-floored error back into the f32 envelope.
+    The kernel runs a FIXED number of HIGHEST-precision iterations (the
+    jnp ``sqrtm_spd`` fallback instead monitors convergence, up to 40);
+    ``refine_steps`` extra coupled NS steps outside the kernel are
+    convergence insurance for ill-conditioned blocks that need more than
+    the in-kernel budget. Validated against the golden DI files
+    (max abs err 9.6e-5, identical to the fallback path).
     """
     from gaussdca_tpu.ops.di_kernel import ns_sqrtm_pallas
 
@@ -142,17 +145,19 @@ def di_score(mJ: jax.Array, C: jax.Array, q: int,
              use_pallas: bool = None) -> jax.Array:
     """S [N, N]: Gaussian direct information per position pair.
 
-    ``use_pallas`` selects the fused NS-sqrtm kernel for the f32 path.
-    Default OFF even on TPU: measured on-chip it is only ~10% faster
-    end-to-end but costs ~5 minutes of Mosaic compile per shape class
-    (14 statically-unrolled HIGHEST batched dots) — a bad trade for
-    batch mode. Opt in with GDCA_DI_FUSED=1 for single-family
-    latency-insensitive-compile workloads.
+    ``use_pallas=False`` forces the jnp sqrtm. Otherwise the fused
+    NS-sqrtm kernel engages only when GDCA_DI_FUSED is truthy ("1",
+    "true", "yes") AND a TPU backend is active. Default OFF even on TPU:
+    it is only ~10% faster end-to-end but costs ~67 s of Mosaic compile
+    per shape class — a bad trade for batch mode. Note the env var is
+    read at TRACE time: set it before the first DI call of a shape class
+    (later changes won't affect already-compiled programs).
     """
-    if use_pallas is None or use_pallas is True:
+    if use_pallas is not False:
         import os
         from gaussdca_tpu.ops.dispatch import _on_tpu
-        use_pallas = bool(os.environ.get("GDCA_DI_FUSED")) and _on_tpu()
+        env = os.environ.get("GDCA_DI_FUSED", "").lower()
+        use_pallas = env in ("1", "true", "yes") and _on_tpu()
     s = q - 1
     Ns = mJ.shape[0]
     N = Ns // s
