@@ -176,9 +176,8 @@ def di_score(mJ: jax.Array, C: jax.Array, q: int,
         # balance the chunks: ceil-split P over the minimum chunk count
         # (lane-aligned) instead of padding the tail to a full pair_chunk
         # — at N=400 naive padding would compute 64% extra pairs
-        n_chunks = -(-P // pair_chunk)
-        per_chunk = -(-P // n_chunks)
-        chunk = -(-per_chunk // 128) * 128
+        from gaussdca_tpu.utils.chunked import balanced_chunk
+        chunk = balanced_chunk(P, pair_chunk, align=128)
         pad = (-P) % chunk
         def padz(x):
             return jnp.concatenate(

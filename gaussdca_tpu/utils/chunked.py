@@ -15,6 +15,19 @@ import jax
 import jax.numpy as jnp
 
 
+def balanced_chunk(n: int, max_chunk: int, align: int = 1) -> int:
+    """Chunk size that ceil-splits ``n`` over the minimum chunk count.
+
+    Avoids padding the tail up to a full ``max_chunk`` (which can waste
+    up to ~2x compute); the result is rounded up to ``align``.
+    """
+    if n <= max_chunk:
+        return max(n, 1)
+    n_chunks = -(-n // max_chunk)
+    per = -(-n // n_chunks)
+    return -(-per // align) * align
+
+
 def map_rows(fn: Callable, xs, n_rows: int, chunk: int = 16):
     """Apply ``fn`` (a per-row function) over the leading axis of ``xs``.
 

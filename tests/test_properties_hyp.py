@@ -18,7 +18,7 @@ from gaussdca_tpu.stats import reweight
 
 from hypothesis import given, settings, strategies as st
 
-_h = settings(deadline=None, max_examples=25, derandomize=True)
+_h = settings(deadline=None, max_examples=15, derandomize=True)
 
 
 @_h
