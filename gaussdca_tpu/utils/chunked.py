@@ -39,8 +39,10 @@ def map_rows(fn: Callable, xs, n_rows: int, chunk: int = 16):
     if n_rows <= chunk:
         return jax.vmap(fn)(xs)
     # prefer a chunk that divides n_rows: the padding path concatenates a
-    # full copy of xs, a whole extra (N*s)^2 buffer for the score stages
-    for c in range(chunk, 0, -1):
+    # full copy of xs, a whole extra (N*s)^2 buffer for the score stages.
+    # Only accept divisors >= chunk/2 — otherwise (e.g. prime n_rows) the
+    # loop count would blow up and the padded copy is the lesser evil.
+    for c in range(chunk, max(chunk // 2, 1) - 1, -1):
         if n_rows % c == 0:
             chunk = c
             break
