@@ -147,10 +147,65 @@ def bench_cpu_baseline(M=4096, N=384, q=21, reps=3):
     return pairs / best
 
 
-def main():
+def check_floors(measured: dict, floor_path: str,
+                 tolerance: float = 0.15) -> int:
+    """Perf regression gate: fail when any measured metric regresses more
+    than ``tolerance`` vs the pinned floor (bench_floor.json, recorded
+    from the last accepted TPU run). Addresses SURVEY.md section 4's "no
+    asserted perf thresholds" gap in the reference. Returns a process
+    exit code."""
+    import os
+
+    if not os.path.exists(floor_path):
+        log(f"[bench --check] no floor file at {floor_path}; "
+            "run with --update-floor first")
+        return 1
+    with open(floor_path) as fh:
+        floors = json.load(fh)
+    rc = 0
+    for key, floor in floors.get("higher_is_better", {}).items():
+        got = measured.get(key)
+        if got is None:
+            continue
+        lim = floor * (1.0 - tolerance)
+        status = "OK" if got >= lim else "REGRESSION"
+        if got < lim:
+            rc = 1
+        log(f"[bench --check] {key}: {got:.4g} vs floor {floor:.4g} "
+            f"(limit {lim:.4g}) -> {status}")
+    for key, floor in floors.get("lower_is_better", {}).items():
+        got = measured.get(key)
+        if got is None:
+            continue
+        lim = floor * (1.0 + tolerance)
+        status = "OK" if got <= lim else "REGRESSION"
+        if got > lim:
+            rc = 1
+        log(f"[bench --check] {key}: {got:.4g}s vs floor {floor:.4g}s "
+            f"(limit {lim:.4g}s) -> {status}")
+    return rc
+
+
+def main(argv=None):
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="fail (exit 1) on >15%% regression vs the pinned "
+                         "bench_floor.json (TPU backend only)")
+    ap.add_argument("--update-floor", action="store_true",
+                    help="rewrite bench_floor.json from this run's numbers")
+    ap.add_argument("--floor-file",
+                    default=os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)), "bench_floor.json"))
+    args = ap.parse_args(argv)
+
+    import jax
+
     value = bench_tpu()
-    bench_solve()
-    bench_family()
+    solve = bench_solve()
+    fam = bench_family()
     baseline = bench_cpu_baseline()
     print(json.dumps({
         "metric": "all-pairs reweighting throughput (symmetry-halved int8 "
@@ -160,6 +215,37 @@ def main():
         "vs_baseline": round(value / baseline, 2),
     }))
 
+    measured = {
+        "pairs_per_s": value,
+        "solve_flops_per_s": solve,
+        "family_frob_s": fam["frob"],
+        "family_di_s": fam["DI"],
+    }
+    if args.update_floor:
+        with open(args.floor_file, "w") as fh:
+            json.dump({
+                "comment": "perf floors from the last accepted TPU run; "
+                           "bench.py --check fails on >15% regression",
+                "backend": jax.default_backend(),
+                "higher_is_better": {
+                    "pairs_per_s": round(measured["pairs_per_s"], 1),
+                    "solve_flops_per_s":
+                        round(measured["solve_flops_per_s"], 1),
+                },
+                "lower_is_better": {
+                    "family_frob_s": round(measured["family_frob_s"], 4),
+                    "family_di_s": round(measured["family_di_s"], 4),
+                },
+            }, fh, indent=1)
+        log(f"[bench] floors written to {args.floor_file}")
+    if args.check:
+        if jax.default_backend() not in ("tpu", "axon"):
+            log("[bench --check] skipped: floors are TPU numbers and this "
+                f"is the {jax.default_backend()} backend")
+            return 0
+        return check_floors(measured, args.floor_file)
+    return 0
+
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -201,13 +201,76 @@ def _solve_score_jit(C, *, q, score, n_true=None, precision="highest",
                                  use_pallas=use_pallas)
 
 
+def resolve_mesh(mesh) -> Any:
+    """Normalize a ``mesh`` argument: Mesh | "auto" | (dp, tp) -> Mesh."""
+    from jax.sharding import Mesh
+    from gaussdca_tpu.parallel.mesh import make_mesh
+
+    if isinstance(mesh, Mesh):
+        return mesh
+    if mesh == "auto":
+        return make_mesh()
+    if isinstance(mesh, (tuple, list)) and len(mesh) == 2:
+        return make_mesh(int(mesh[0]) * int(mesh[1]),
+                         shape=(int(mesh[0]), int(mesh[1])))
+    raise ValueError(
+        f"invalid mesh: {mesh!r} (expected a jax.sharding.Mesh, 'auto', "
+        "or a (data, model) shape tuple)")
+
+
+def _run_sharded_padded(mesh, tokens, cfg: GDCAConfig, *, q: int,
+                        m_true_int: int, n_true_int: int, dtype,
+                        theta_is_auto: bool, theta_value: float):
+    """Dispatch one family to the multi-chip sharded pipeline.
+
+    ``tokens`` may already carry bucket padding; rows are further padded
+    to a device-count multiple. The compiled program is cached per
+    (mesh, padded shape, config) — the sharded analog of the single-chip
+    shape-class cache.
+    """
+    from gaussdca_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from gaussdca_tpu.parallel.sharded import cached_scores_fn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = resolve_mesh(mesh)
+    ndev = mesh.devices.size
+    if tokens.shape[0] % ndev != 0:
+        pad = ndev - tokens.shape[0] % ndev
+        tokens = np.pad(tokens, ((0, pad), (0, 0)))
+    # use_pallas=None -> backend auto-detect inside sharded_scores_fn
+    # (the sharded flag picks kernels directly, no dispatch-layer gate)
+    fn = cached_scores_fn(
+        mesh, q=q, score=cfg.score, theta_is_auto=theta_is_auto,
+        dtype_name=dtype.name,
+        use_pallas=False if cfg.resolve_fallback() else None,
+        precision=cfg.precision, solve_min_dim=cfg.solve_min_dim,
+        solve_block=cfg.solve_block)
+    Zs = jax.device_put(
+        jnp.asarray(tokens),
+        NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None)))
+    return fn(Zs, jnp.asarray(float(cfg.pseudocount), dtype),
+              jnp.asarray(theta_value, dtype),
+              jnp.asarray(m_true_int, jnp.int32),
+              jnp.asarray(n_true_int, jnp.int32))
+
+
 def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
-                  top_k: Optional[int] = None) -> GDCAResult:
+                  top_k: Optional[int] = None,
+                  mesh: Optional[Any] = None) -> GDCAResult:
     """Run the device pipeline + ranking on an already-ingested MSA.
 
     ``top_k``: return only the k best pairs, selected on device
     (jax.lax.top_k) so the full [N, N] score matrix never leaves the
-    chip."""
+    chip.
+
+    ``mesh``: a ``jax.sharding.Mesh``, a ``(dp, tp)`` shape tuple, or
+    "auto" (a mesh over every visible device) — dispatches to the
+    multi-chip sharded pipeline (parallel/sharded.py: data-parallel
+    sequences, model-parallel statistics, mesh-sharded DI pair batch).
+    Results match the single-chip path to floating-point summation
+    order; buckets work the same way (the sharded program is compiled
+    once per (M-bucket, N-bucket, mesh, config) class).
+    """
     if cfg.remove_dups:
         msa = fasta.remove_duplicate_sequences(msa)
     q = msa.q
@@ -232,9 +295,26 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
         pad = cfg.n_bucket - tokens.shape[1] % cfg.n_bucket
         n_true = jnp.asarray(N_true, jnp.int32)
         tokens = np.pad(tokens, ((0, 0), (0, pad)))
-    Z = jnp.asarray(tokens)
     theta_is_auto = cfg.auto_theta
     theta_value = 0.0 if theta_is_auto else float(cfg.theta)
+    if mesh is not None:
+        S, th, meff = _run_sharded_padded(
+            mesh, tokens, cfg, q=q, m_true_int=msa.M, n_true_int=N_true,
+            dtype=dtype, theta_is_auto=theta_is_auto,
+            theta_value=theta_value)
+        if tokens.shape[1] != N_true:
+            S = S[:N_true, :N_true]
+        if top_k is not None:
+            R = top_k_device(S, cfg.min_separation, top_k)
+        else:
+            R = compute_ranking(np.asarray(S), cfg.min_separation)
+        return GDCAResult(
+            ranking=R, M=msa.M, N=msa.N, q=q,
+            theta=float(th), meff=float(meff),
+            n_dropped_gaps=msa.n_dropped_gaps,
+            n_dropped_dups=msa.n_dropped_dups,
+        )
+    Z = jnp.asarray(tokens)
     kw = dict(
         q=q,
         theta_is_auto=theta_is_auto,
@@ -280,6 +360,11 @@ def gdca(
     remove_dups: bool = False,
     dtype: Optional[Any] = None,
     force_fallback: bool = False,
+    top_k: Optional[int] = None,
+    m_bucket: int = 0,
+    n_bucket: int = 0,
+    precision: str = "highest",
+    mesh: Optional[Any] = None,
 ) -> GDCAResult:
     """Contact-prediction ranking of an MSA file.
 
@@ -287,15 +372,30 @@ def gdca(
     (src/GaussDCA.jl:8-15; ``theta`` spelled out since Python identifiers
     can't be Greek). Returns a GDCAResult — an iterable of 1-based
     (i, j, score) triples sorted by descending score, plus run metadata.
+
+    TPU-native extras (all optional; results are identical either way):
+
+    - ``top_k``: return only the k best pairs, selected on device so the
+      full [N, N] score matrix never leaves the chip.
+    - ``m_bucket`` / ``n_bucket``: pad the sequence count / alignment
+      width to a bucket multiple so similar-shaped families share one
+      compiled program (batch mode; padding is masked exactly).
+    - ``precision``: ambient matmul precision ("highest" default — the
+      TPU f32 default is single-pass bf16, which costs ~3 digits).
+    - ``mesh``: a ``jax.sharding.Mesh`` (or "auto" to build one over all
+      visible devices) — runs the multi-chip sharded pipeline
+      (data-parallel sequences + model-parallel statistics) instead of
+      the single-chip one.
     """
     cfg = GDCAConfig(
         pseudocount=pseudocount, theta=theta,
         max_gap_fraction=max_gap_fraction, score=score,
         min_separation=min_separation, remove_dups=remove_dups,
         dtype=dtype, force_fallback=force_fallback,
+        m_bucket=m_bucket, n_bucket=n_bucket, precision=precision,
     )
     msa = fasta.read_fasta_alignment(filename, cfg.max_gap_fraction)
-    return gdca_from_msa(msa, cfg)
+    return gdca_from_msa(msa, cfg, top_k=top_k, mesh=mesh)
 
 
 __all__ = ["gdca", "gdca_from_msa", "printrank", "GDCAConfig", "GDCAResult"]

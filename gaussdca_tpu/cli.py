@@ -84,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable threaded ingest prefetch")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the batch here")
+    p.add_argument("--mesh", default=None, metavar="DPxTP|auto",
+                   help="run the multi-chip sharded pipeline on a "
+                        "(data, model) device mesh: 'auto' lays one over "
+                        "every visible device, or give an explicit shape "
+                        "like '4,2' / '4x2' (data x model; product must "
+                        "equal the device count used)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host mode: initialize jax.distributed and "
                         "shard the family list round-robin across "
@@ -92,7 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--merge-output", default=None,
                    help="additionally write one merged ranking file: "
                         "'<family> <i> <j> <score>' lines, all families "
-                        "concatenated in batch order")
+                        "concatenated in batch order (with --distributed "
+                        "and >1 process, each process writes its own "
+                        "<path>.part<i>of<n> shard — concatenate them)")
     p.add_argument("--quiet", action="store_true",
                    help="suppress per-family JSON logs")
     return p
@@ -107,19 +115,53 @@ def _parse_theta(s):
         raise SystemExit(f"invalid --theta value: {s}")
 
 
-def _cache_key(path: str, cfg: GDCAConfig, top_k: Optional[int]) -> str:
+def _parse_mesh(s: Optional[str]):
+    """'auto' | '4,2' | '4x2' -> the api.resolve_mesh argument (or None)."""
+    if s is None:
+        return None
+    if s == "auto":
+        return "auto"
+    for sep in (",", "x", "X"):
+        if sep in s:
+            parts = s.split(sep)
+            if len(parts) == 2:
+                try:
+                    return (int(parts[0]), int(parts[1]))
+                except ValueError:
+                    break
+    raise SystemExit(f"invalid --mesh value: {s} (expected 'auto' or "
+                     "'DP,TP' like '4,2')")
+
+
+def _cache_key(path: str, cfg: GDCAConfig, top_k: Optional[int],
+               mesh_desc: str = "") -> str:
     h = hashlib.sha256()
     with open(path, "rb") as fh:
         h.update(fh.read())
     # the RESOLVED dtype: f32 and f64 runs of the same family must not
     # share an artifact (cfg.dtype=None resolves per-backend). Buckets
     # are included too: bucketed scores match exact-shape scores only to
-    # f.p. summation order, so the %e-formatted text can differ.
+    # f.p. summation order, so the %e-formatted text can differ — and the
+    # same goes for every knob that selects a kernel path (fallback,
+    # precision, and the GDCA_* kernel-dispatch env overrides).
     key = (cfg.pseudocount, cfg.theta, cfg.max_gap_fraction, cfg.score,
            cfg.min_separation, cfg.remove_dups, cfg.resolve_dtype().name,
-           cfg.m_bucket, cfg.n_bucket, top_k)
+           cfg.m_bucket, cfg.n_bucket, top_k,
+           cfg.resolve_fallback(), cfg.precision,
+           os.environ.get("GDCA_DISTANCE_IMPL", ""),
+           os.environ.get("GDCA_DI_FUSED", ""),
+           mesh_desc)
     h.update(repr(key).encode())
     return h.hexdigest()
+
+
+def _mesh_desc(mesh) -> str:
+    """Cache-key descriptor of a resolved Mesh ('' = single-chip):
+    mesh runs sum in a different order, so artifacts must not be shared."""
+    if mesh is None:
+        return ""
+    return "mesh:" + "x".join(
+        f"{a}{mesh.shape[a]}" for a in mesh.axis_names)
 
 
 def _stem(path: str) -> str:
@@ -146,7 +188,7 @@ def _output_stems(paths: List[str]) -> List[str]:
 def run_family(path: str, cfg: GDCAConfig, out_dir: str,
                top_k: Optional[int], cache_dir: Optional[str],
                quiet: bool, msa_future=None, stem: str = None,
-               cache_key: str = None) -> str:
+               cache_key: str = None, mesh=None) -> str:
     """Process one family; returns the output path.
 
     ``msa_future``: optional concurrent.futures.Future holding the
@@ -170,7 +212,7 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         if cache_key is None:
-            cache_key = _cache_key(path, cfg, top_k)
+            cache_key = _cache_key(path, cfg, top_k, _mesh_desc(mesh))
         cached = os.path.join(cache_dir, cache_key)
         if os.path.exists(cached):
             with open(cached) as fh, open(out_path, "w") as out:
@@ -185,7 +227,7 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
         else:
             msa = fasta.read_fasta_alignment(path, cfg.max_gap_fraction)
     with log.stage("pipeline"):
-        result = api.gdca_from_msa(msa, cfg, top_k=top_k)
+        result = api.gdca_from_msa(msa, cfg, top_k=top_k, mesh=mesh)
     with log.stage("emit"):
         R = result.ranking
         text = format_rank(R)
@@ -253,6 +295,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                   file=sys.stderr, flush=True)
     _setup_compile_cache(args.compile_cache)
 
+    mesh_obj = None
+    if args.mesh is not None:
+        from gaussdca_tpu import api as _api
+        mesh_obj = _api.resolve_mesh(_parse_mesh(args.mesh))
+        if not args.quiet:
+            print(json.dumps({
+                "mesh": {a: int(mesh_obj.shape[a])
+                         for a in mesh_obj.axis_names}}),
+                  file=sys.stderr, flush=True)
+    mesh_desc = _mesh_desc(mesh_obj)
+
     profile_ctx = None
     if args.profile_dir:
         import jax
@@ -267,11 +320,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     all_stems = _output_stems(args.inputs)
     stems = all_stems
 
+    merge_path = args.merge_output
     if args.distributed:
         from gaussdca_tpu.parallel import mesh as meshlib
-        pidx, pcnt = meshlib.init_distributed()
+        pidx, pcnt = meshlib.init_distributed(force=True)
         args.inputs = meshlib.shard_families(args.inputs, pidx, pcnt)
         stems = meshlib.shard_families(all_stems, pidx, pcnt)
+        if merge_path is not None and pcnt > 1:
+            # every process opening the same path with mode "w" would
+            # truncate/interleave the others; write per-process shard
+            # files instead (concatenate them afterwards in any order —
+            # family order within each shard is preserved)
+            merge_path = f"{merge_path}.part{pidx}of{pcnt}"
         if not args.quiet:
             print(json.dumps({"process": pidx, "of": pcnt,
                               "families": len(args.inputs)}),
@@ -291,7 +351,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             return
         if args.cache_dir:
             try:
-                cache_keys[k] = _cache_key(args.inputs[k], cfg, args.top_k)
+                cache_keys[k] = _cache_key(args.inputs[k], cfg, args.top_k,
+                                           mesh_desc)
                 if os.path.exists(os.path.join(args.cache_dir,
                                                cache_keys[k])):
                     return
@@ -301,28 +362,50 @@ def main(argv: Optional[List[str]] = None) -> int:
                                  args.inputs[k], cfg.max_gap_fraction)
 
     merge_fh = None
-    if args.merge_output:
-        parent = os.path.dirname(os.path.abspath(args.merge_output))
+    if merge_path:
+        parent = os.path.dirname(os.path.abspath(merge_path))
         os.makedirs(parent, exist_ok=True)
-        merge_fh = open(args.merge_output, "w")
+        merge_fh = open(merge_path, "w")
     try:
         futures = [None] * len(args.inputs)
         _submit(0, futures)
         for k, path in enumerate(args.inputs):
             _submit(k + 1, futures)
             try:
-                out_path = run_family(path, cfg, args.output_dir,
-                                      args.top_k, args.cache_dir,
-                                      args.quiet, msa_future=futures[k],
-                                      stem=stems[k],
-                                      cache_key=cache_keys[k])
+                try:
+                    out_path = run_family(path, cfg, args.output_dir,
+                                          args.top_k, args.cache_dir,
+                                          args.quiet,
+                                          msa_future=futures[k],
+                                          stem=stems[k],
+                                          cache_key=cache_keys[k],
+                                          mesh=mesh_obj)
+                except (ValueError, OSError):
+                    raise  # deterministic input/config errors: no retry
+                except Exception as e:
+                    # runtime/compile failures (XlaRuntimeError,
+                    # RESOURCE_EXHAUSTED, ...) can be transient device
+                    # state: one bounded retry, re-ingesting from scratch
+                    # (the prefetched future is already consumed)
+                    print(json.dumps({"family": path, "retry": True,
+                                      "error": str(e)[:500]}),
+                          file=sys.stderr, flush=True)
+                    out_path = run_family(path, cfg, args.output_dir,
+                                          args.top_k, args.cache_dir,
+                                          args.quiet, stem=stems[k],
+                                          cache_key=cache_keys[k],
+                                          mesh=mesh_obj)
                 if merge_fh is not None:
                     with open(out_path) as fh:
                         for line in fh:
                             merge_fh.write(f"{stems[k]} {line}")
-            except (ValueError, OSError) as e:
+            except Exception as e:
+                # a family that fails twice (or has bad input) must not
+                # abort the rest of the batch — record and continue
                 n_err += 1
-                print(json.dumps({"family": path, "error": str(e)}),
+                print(json.dumps({"family": path,
+                                  "error_type": type(e).__name__,
+                                  "error": str(e)[:500]}),
                       file=sys.stderr, flush=True)
     finally:
         if merge_fh is not None:

@@ -74,6 +74,12 @@ class GDCAConfig:
     precision: str = "highest"
     m_bucket: int = 0
     n_bucket: int = 0
+    # mesh-path solve thresholds (parallel/sharded.py): N*s at or above
+    # solve_min_dim the covariance inverse switches from the replicated
+    # Cholesky to the mesh-blocked distributed factorization with
+    # solve_block-sized panels. Single-chip runs ignore both.
+    solve_min_dim: int = 4096
+    solve_block: int = 1024
 
     def __post_init__(self) -> None:
         self.validate()
@@ -114,6 +120,15 @@ class GDCAConfig:
         if not (isinstance(self.n_bucket, int) and self.n_bucket >= 0):
             raise ValueError(
                 f"invalid n_bucket value: {self.n_bucket} (must be >= 0)")
+        if not (isinstance(self.solve_min_dim, int)
+                and self.solve_min_dim >= 1):
+            raise ValueError(
+                f"invalid solve_min_dim value: {self.solve_min_dim} "
+                "(must be >= 1)")
+        if not (isinstance(self.solve_block, int) and self.solve_block >= 8):
+            raise ValueError(
+                f"invalid solve_block value: {self.solve_block} "
+                "(must be >= 8)")
 
     @property
     def auto_theta(self) -> bool:

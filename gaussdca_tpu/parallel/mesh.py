@@ -69,17 +69,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> Tuple[int, int]:
-    """Initialize multi-host JAX (no-op when single-process).
+                     process_id: Optional[int] = None,
+                     force: bool = False) -> Tuple[int, int]:
+    """Initialize multi-host JAX.
 
     Call once per host before building a mesh; afterwards
     ``jax.devices()`` spans the pod slice and the (data, model) mesh laid
-    over it rides ICI within a host and DCN across hosts. Arguments
-    default to the standard env vars (JAX_COORDINATOR_ADDRESS etc. /
-    TPU pod metadata, which ``jax.distributed.initialize`` resolves
-    itself on Cloud TPU). Returns (process_index, process_count).
+    over it rides ICI within a host and DCN across hosts. Arguments fall
+    back to the ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` env vars, then to ``jax.distributed.initialize``'s
+    own cluster auto-detection (TPU pod metadata, SLURM, ...).
+
+    ``force=True`` (what the CLI's ``--distributed`` passes) initializes
+    unconditionally and lets ``jax.distributed.initialize`` fail loudly
+    when no cluster configuration can be resolved — silently running
+    single-process would contradict what the user asked for. Without
+    ``force``, initialization happens only when a coordinator or a
+    process count > 1 is actually configured (no-op single-process path).
+    Returns (process_index, process_count).
     """
-    if num_processes is not None and num_processes > 1 or coordinator:
+    import os
+
+    coordinator = coordinator or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS") or None
+    if num_processes is None:
+        env_np = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env_np) if env_np else None
+    if process_id is None:
+        env_pid = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(env_pid) if env_pid else None
+    if force or coordinator or (num_processes is not None
+                                and num_processes > 1):
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,

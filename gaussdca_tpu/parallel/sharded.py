@@ -15,11 +15,20 @@ Scale-out design (new — the reference is single-process, SURVEY.md 2.9):
   assembly and scoring (row-sharded over the ``model`` axis),
 - the dense Cholesky solve replicates below ``solve_min_dim`` (XLA has no
   distributed Cholesky) and switches to the mesh-blocked factorization +
-  column-sharded triangular solves of solve/blocked.py above it.
+  column-sharded triangular solves of solve/blocked.py above it,
+- the DI pair batch (the expensive score: P = N(N-1)/2 independent
+  s x s Gaussian integrals, /root/reference/src/GaussDCA.jl:37) is
+  sharded over ALL mesh devices — each device integrates only its own
+  pair slab, zero communication.
 
 shard_map is used where the per-device program is the point (local
-Pallas kernels, partial sums); plain sharding constraints + GSPMD
-everywhere else.
+Pallas kernels, partial sums, pair slabs); plain sharding constraints +
+GSPMD everywhere else.
+
+``m_true`` / ``n_true`` are TRACED scalars (the unpadded sequence /
+position counts), so one compiled program serves a whole
+(M-bucket, N-bucket) shape class in batch mode, exactly like the
+single-chip path (api.py).
 """
 
 from __future__ import annotations
@@ -29,13 +38,14 @@ from typing import Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gaussdca_tpu.ops import distance
 from gaussdca_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from gaussdca_tpu.score.apc import correct_apc
-from gaussdca_tpu.score.di import di_score
+from gaussdca_tpu.score.di import di_pairs_flat, site_cholesky
 from gaussdca_tpu.score.frob import _fn_row
 from gaussdca_tpu.solve.blocked import spd_inverse_blocked
 from gaussdca_tpu.solve.cholesky import spd_inverse
@@ -71,18 +81,64 @@ def _freq_partial(q: int, dtype, m_chunk: int):
     return body
 
 
+def _di_sharded(mesh: Mesh, mJ, C, q: int, *, use_pallas: bool = False,
+                pair_chunk: int = 65536):
+    """DI score matrix with the pair batch sharded over all mesh devices.
+
+    The P = N(N-1)/2 pair integrals are embarrassingly parallel: the
+    (replicated, small) J blocks and site Cholesky factors are gathered
+    into a flat [P_pad, s, s] batch, split over every mesh axis, and each
+    device runs the chunked batched integrals (score/di.di_pairs_flat) on
+    its own slab — no communication until the final (tiny) [N, N]
+    scatter. Padding pairs reuse index (0, 0); their integrals are
+    computed (1/ndev overhead at most) and discarded.
+    """
+    s = q - 1
+    N = mJ.shape[0] // s
+    J4 = mJ.reshape(N, s, N, s)
+    Lsite = site_cholesky(C, q)
+
+    iu, ju = np.triu_indices(N, k=1)
+    Pn = iu.size
+    ndev = mesh.devices.size
+    Pp = -(-Pn // ndev) * ndev
+    iu_p = np.concatenate([iu, np.zeros(Pp - Pn, iu.dtype)])
+    ju_p = np.concatenate([ju, np.zeros(Pp - Pn, ju.dtype)])
+    Jb = J4[iu_p, :, ju_p, :]
+    Li = Lsite[iu_p]
+    Lj = Lsite[ju_p]
+
+    dev_axes = (DATA_AXIS, MODEL_AXIS)
+    body = functools.partial(di_pairs_flat, pair_chunk=pair_chunk,
+                             use_pallas=use_pallas)
+    di = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(dev_axes, None, None),) * 3,
+        out_specs=P(dev_axes), check_vma=False)(Jb, Li, Lj)
+    di = di[:Pn]
+
+    S = jnp.zeros((N, N), mJ.dtype)
+    S = S.at[iu, ju].set(di)
+    S = S.at[ju, iu].set(di)
+    return S
+
+
 def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
-                      theta_is_auto: bool, dtype, m_true: int = None,
+                      theta_is_auto: bool, dtype,
                       solve_min_dim: int = 4096, solve_block: int = 1024,
-                      use_pallas: bool = None, freq_chunk: int = 0):
+                      use_pallas: bool = None, freq_chunk: int = 0,
+                      precision: str = "highest"):
     """Build the jitted sharded pipeline for a fixed mesh/config.
 
-    Returns ``fn(Z, pc, theta_value) -> (S, theta, Meff)``. Z must be
-    padded to a multiple of the device count (``run_sharded`` does this);
-    ``m_true`` is the unpadded sequence count (token-0 padding rows are
-    masked out of weights, Meff, and the auto-theta pair count).
-    ``solve_min_dim``: N*s at or above which the covariance inverse uses
-    the mesh-blocked distributed solve instead of the replicated one.
+    Returns ``fn(Z, pc, theta_value, m_true, n_true) -> (S, theta, Meff)``.
+    Z must be padded to a multiple of the device count (``run_sharded``
+    and the api dispatch do this); ``m_true`` / ``n_true`` are TRACED
+    unpadded sequence / position counts (pass M / N when nothing is
+    padded — token-0 padding rows are masked out of weights, Meff, and
+    the auto-theta pair count; padding columns decouple exactly, see
+    stats/pseudocount.py). ``solve_min_dim``: N*s at or above which the
+    covariance inverse uses the mesh-blocked distributed solve instead of
+    the replicated one.
     """
     if use_pallas is None:
         from gaussdca_tpu.ops.dispatch import _on_tpu
@@ -100,11 +156,11 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
         in_specs=(P(dev_axes, None), P(), P()),
         out_specs=(P(dev_axes), P(dev_axes)), check_vma=False)
 
-    def fn(Z, pc, theta_value):
-        with jax.default_matmul_precision("highest"):
-            return _fn_body(Z, pc, theta_value)
+    def fn(Z, pc, theta_value, m_true, n_true):
+        with jax.default_matmul_precision(precision):
+            return _fn_body(Z, pc, theta_value, m_true, n_true)
 
-    def _fn_body(Z, pc, theta_value):
+    def _fn_body(Z, pc, theta_value, m_true, n_true):
         M, N = Z.shape
 
         # --- reweighting: DP rows vs replicated tokens, O(M) memory ----
@@ -113,7 +169,7 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
         theta = "auto" if theta_is_auto else theta_value
         W, Meff, th = reweight.compute_weights_streaming(
             Z, theta, q, lambda z, t, _q: row_stats(z, z, t),
-            dtype=dtype, m_true=m_true)
+            dtype=dtype, m_true=m_true, n_true=n_true)
 
         # --- weighted frequencies: per-device partials + one psum -------
         freqs = shard_map(
@@ -125,8 +181,8 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
         Pij = _constrain(Pij / Meff, model2)
 
         # --- pseudocount + covariance: model-sharded elementwise ---------
-        Pi, Pij = add_pseudocount(Pi, Pij, pc, q)
-        C = _constrain(compute_C(Pi, Pij), model2)
+        Pi, Pij = add_pseudocount(Pi, Pij, pc, q, n_true=n_true)
+        C = _constrain(compute_C(Pi, Pij, n_true=n_true, q=q), model2)
 
         # --- solve: replicated below the threshold, mesh-blocked above ---
         Crep = _constrain(C, repl)
@@ -137,42 +193,65 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
         else:
             mJ = spd_inverse(Crep)
 
-        # --- scores: rows sharded over model ------------------------------
+        # --- scores: DI pairs / frob rows sharded over the mesh ----------
         s = q - 1
-        J4 = _constrain(mJ.reshape(N, s, N, s),
-                        NamedSharding(mesh, P(MODEL_AXIS, None, None, None)))
         if score == "DI":
-            S = di_score(mJ, Crep, q)
+            S = _di_sharded(mesh, mJ, Crep, q, use_pallas=use_pallas)
         else:
+            J4 = _constrain(
+                mJ.reshape(N, s, N, s),
+                NamedSharding(mesh, P(MODEL_AXIS, None, None, None)))
             S = jax.vmap(lambda row: _fn_row(row, q))(J4)
             S = S * (1.0 - jnp.eye(N, dtype=dtype))
-        S = correct_apc(S)
+        S = correct_apc(S, n_true=n_true)
         return _constrain(S, repl), th, Meff
 
     return jax.jit(
         fn,
-        in_shardings=(rows_all, repl, repl),
+        in_shardings=(rows_all, repl, repl, repl, repl),
         out_shardings=(repl, repl, repl),
     )
+
+
+@functools.lru_cache(maxsize=64)
+def cached_scores_fn(mesh: Mesh, *, q: int, score: str,
+                     theta_is_auto: bool, dtype_name: str,
+                     solve_min_dim: int = 4096, solve_block: int = 1024,
+                     use_pallas: bool = None, freq_chunk: int = 0,
+                     precision: str = "highest"):
+    """``sharded_scores_fn`` memoized on (mesh, config).
+
+    Each ``sharded_scores_fn`` call builds a fresh closure, which jit
+    treats as a distinct function — without this cache every family in a
+    batch would recompile. Mesh objects hash by device grid + axis names,
+    so equal meshes share entries.
+    """
+    return sharded_scores_fn(
+        mesh, q=q, score=score, theta_is_auto=theta_is_auto,
+        dtype=jnp.dtype(dtype_name), solve_min_dim=solve_min_dim,
+        solve_block=solve_block, use_pallas=use_pallas,
+        freq_chunk=freq_chunk, precision=precision)
 
 
 def run_sharded(mesh: Mesh, Z, pc: float, theta: Union[str, float], *,
                 q: int, score: str = "frob", dtype=jnp.float32,
                 solve_min_dim: int = 4096, solve_block: int = 1024,
-                use_pallas: bool = None, freq_chunk: int = 0):
+                use_pallas: bool = None, freq_chunk: int = 0,
+                precision: str = "highest"):
     """Convenience wrapper: pad/place Z on the mesh and run one step."""
     theta_is_auto = isinstance(theta, str)
     Z = jnp.asarray(Z)
-    M = Z.shape[0]
+    M, N = Z.shape
     ndev = mesh.devices.size
     Mp = -(-M // ndev) * ndev
-    fn = sharded_scores_fn(mesh, q=q, score=score,
-                           theta_is_auto=theta_is_auto, dtype=dtype,
-                           m_true=M if Mp != M else None,
-                           solve_min_dim=solve_min_dim,
-                           solve_block=solve_block,
-                           use_pallas=use_pallas,
-                           freq_chunk=freq_chunk)
+    fn = cached_scores_fn(mesh, q=q, score=score,
+                          theta_is_auto=theta_is_auto,
+                          dtype_name=jnp.dtype(dtype).name,
+                          solve_min_dim=solve_min_dim,
+                          solve_block=solve_block,
+                          use_pallas=use_pallas,
+                          freq_chunk=freq_chunk,
+                          precision=precision)
     if Mp != M:
         Z = jnp.concatenate(
             [Z, jnp.zeros((Mp - M, Z.shape[1]), Z.dtype)], axis=0)
@@ -180,4 +259,5 @@ def run_sharded(mesh: Mesh, Z, pc: float, theta: Union[str, float], *,
         Z, NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None)))
     pc_a = jnp.asarray(pc, dtype)
     th_a = jnp.asarray(0.0 if theta_is_auto else float(theta), dtype)
-    return fn(Zs, pc_a, th_a)
+    return fn(Zs, pc_a, th_a, jnp.asarray(M, jnp.int32),
+              jnp.asarray(N, jnp.int32))

@@ -140,6 +140,37 @@ def _di_pairs(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
     return 0.5 * _chol_logdet(half)
 
 
+def di_pairs_flat(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
+                  *, pair_chunk: int = 65536,
+                  use_pallas: bool = False) -> jax.Array:
+    """DI of a flat batch of coupling blocks: [P, s, s] x3 -> [P].
+
+    The chunked core shared by ``di_score`` and the multi-chip sharded
+    pipeline (each device calls this on its own pair slab — the pair
+    batch is embarrassingly parallel, zero communication). ``pair_chunk``
+    bounds the live set at O(chunk * s^2) via lax.map.
+    """
+    P = Jb.shape[0]
+    s = Jb.shape[-1]
+    if P <= pair_chunk:
+        return _di_pairs(Jb, Li, Lj, use_pallas)
+    # balance the chunks: ceil-split P over the minimum chunk count
+    # (lane-aligned) instead of padding the tail to a full pair_chunk
+    # — at N=400 naive padding would compute 64% extra pairs
+    from gaussdca_tpu.utils.chunked import balanced_chunk
+    chunk = balanced_chunk(P, pair_chunk, align=128)
+    pad = (-P) % chunk
+
+    def padz(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+    blocks = jax.tree_util.tree_map(
+        lambda x: padz(x).reshape(-1, chunk, s, s), (Jb, Li, Lj))
+    return jax.lax.map(lambda a: _di_pairs(*a, use_pallas),
+                       blocks).reshape(-1)[:P]
+
+
 def di_score(mJ: jax.Array, C: jax.Array, q: int,
              *, pair_chunk: int = 65536,
              use_pallas: bool = None) -> jax.Array:
@@ -170,22 +201,8 @@ def di_score(mJ: jax.Array, C: jax.Array, q: int,
     Li = Lsite[iu]
     Lj = Lsite[ju]
 
-    if P <= pair_chunk:
-        di = _di_pairs(Jb, Li, Lj, use_pallas)
-    else:
-        # balance the chunks: ceil-split P over the minimum chunk count
-        # (lane-aligned) instead of padding the tail to a full pair_chunk
-        # — at N=400 naive padding would compute 64% extra pairs
-        from gaussdca_tpu.utils.chunked import balanced_chunk
-        chunk = balanced_chunk(P, pair_chunk, align=128)
-        pad = (-P) % chunk
-        def padz(x):
-            return jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-        blocks = jax.tree_util.tree_map(
-            lambda x: padz(x).reshape(-1, chunk, s, s), (Jb, Li, Lj))
-        di = jax.lax.map(lambda a: _di_pairs(*a, use_pallas),
-                         blocks).reshape(-1)[:P]
+    di = di_pairs_flat(Jb, Li, Lj, pair_chunk=pair_chunk,
+                       use_pallas=use_pallas)
 
     S = jnp.zeros((N, N), mJ.dtype)
     S = S.at[iu, ju].set(di)

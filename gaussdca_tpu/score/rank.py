@@ -68,7 +68,13 @@ def top_k_device(S, min_separation: int, k: int) -> Ranking:
 
     N = S.shape[0]
     m = min_separation
-    k = int(min(k, (N - m) * (N - m + 1) // 2))
+    # t clamps at 0 so min_separation > N yields an empty ranking, exactly
+    # like compute_ranking (the unclamped pair-count formula goes positive
+    # again for N - m < -1 and would emit a bogus (i, j, -inf) pair)
+    t = max(0, N - m)
+    k = int(min(k, t * (t + 1) // 2))
+    if k == 0:
+        return []
     # mask to the ranked region: j >= i + m, read from the lower triangle
     rows = jnp.arange(N)[:, None]
     cols = jnp.arange(N)[None, :]

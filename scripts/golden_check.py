@@ -17,7 +17,7 @@ import numpy as np
 from gaussdca_tpu import gdca
 from gaussdca_tpu.score.rank import format_rank
 
-DATA = os.environ.get("GAUSSDCA_GOLDEN_DIR", "/root/reference/test/data")
+DATA = os.environ.get("GAUSSDCA_GOLDEN_DIR", os.path.join(os.path.dirname(__file__), "..", "tests", "data"))
 
 
 def todict(text):

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import numpy as np
 
-GOLDEN = os.environ.get("GAUSSDCA_GOLDEN_DIR", "/root/reference/test/data")
+GOLDEN = os.environ.get("GAUSSDCA_GOLDEN_DIR", os.path.join(os.path.dirname(__file__), "..", "tests", "data"))
 
 CASES = [
     ("small frob defaults", "small.fasta.gz", "small.FNRout.txt",

@@ -78,6 +78,66 @@ def test_cli_batch_with_error(small, tmp_path, capsys):
     assert batch["batch"] == 2 and batch["errors"] == 1
 
 
+class _FakeXlaError(RuntimeError):
+    """Stand-in for jaxlib's XlaRuntimeError (not ValueError/OSError)."""
+
+
+def test_cli_batch_transient_runtime_error(small, tmp_path, capsys,
+                                           monkeypatch):
+    """A transient runtime failure (XlaRuntimeError-shaped) is retried
+    once and the batch completes cleanly (VERDICT r1 item 5)."""
+    from gaussdca_tpu import api
+
+    real = api.gdca_from_msa
+    calls = {"n": 0}
+
+    def flaky(msa, cfg, top_k=None, mesh=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise _FakeXlaError("RESOURCE_EXHAUSTED: out of memory")
+        return real(msa, cfg, top_k=top_k, mesh=mesh)
+
+    monkeypatch.setattr(api, "gdca_from_msa", flaky)
+    rc = main([small, small, "-o", str(tmp_path)])
+    assert rc == 0
+    # first family: attempt + retry; second family: one attempt
+    assert calls["n"] == 3
+    assert (tmp_path / "small.rank.txt").exists()
+    assert (tmp_path / "small.2.rank.txt").exists()
+    recs = [json.loads(line) for line in
+            capsys.readouterr().err.strip().splitlines()]
+    assert any(r.get("retry") for r in recs)
+    assert recs[-1]["errors"] == 0
+
+
+def test_cli_batch_persistent_runtime_error(small, tmp_path, capsys,
+                                            monkeypatch):
+    """A family that fails BOTH attempts is recorded and the rest of the
+    batch still completes — no abort on runtime/compile errors."""
+    from gaussdca_tpu import api
+
+    real = api.gdca_from_msa
+    calls = {"n": 0}
+
+    def broken_then_ok(msa, cfg, top_k=None, mesh=None):
+        calls["n"] += 1
+        if calls["n"] <= 2:  # family 1: attempt + retry both fail
+            raise _FakeXlaError("INTERNAL: compilation failure")
+        return real(msa, cfg, top_k=top_k, mesh=mesh)
+
+    monkeypatch.setattr(api, "gdca_from_msa", broken_then_ok)
+    rc = main([small, small, "-o", str(tmp_path)])
+    assert rc == 1
+    assert not (tmp_path / "small.rank.txt").exists()
+    assert (tmp_path / "small.2.rank.txt").exists()
+    recs = [json.loads(line) for line in
+            capsys.readouterr().err.strip().splitlines()]
+    err = [r for r in recs if "error_type" in r]
+    assert err and err[0]["error_type"] == "_FakeXlaError"
+    assert recs[-1] == {"batch": 2, "errors": 1,
+                        "total_s": recs[-1]["total_s"]}
+
+
 def test_cli_di_mode(small, tmp_path, golden_dir):
     main([small, "-o", str(tmp_path), "--quiet", "--score", "DI",
           "--pseudocount", "0.2", "--remove-dups"])

@@ -105,6 +105,62 @@ def test_row_stats_values():
                                ((N - D) < thresh).sum(1))
 
 
+@pytest.mark.parametrize("q", [2, 22, 31])
+def test_kernels_q_boundaries(q):
+    """q boundary coverage through every optimized path (interpret mode):
+    q=2 (minimum meaningful alphabet), q=22 (first beyond the standard
+    protein alphabet — pads every plane loop), q=31 (the reference's
+    hard 5-bit-packing limit, src/GaussDCA.jl:26)."""
+    rng = np.random.default_rng(q)
+    M, N = 96, 40
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    D = np.asarray(reweight.match_counts(Z))
+    thresh = 7.0
+
+    rowsum, below = distance.row_stats_pallas(
+        Z, jnp.float32(thresh), q, tile_m=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
+    np.testing.assert_allclose(np.asarray(below), ((N - D) < thresh).sum(1))
+
+    rowsum, below = distance.row_stats_sym_pallas(
+        Z, jnp.float32(thresh), q, tile_m=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
+    np.testing.assert_allclose(np.asarray(below), ((N - D) < thresh).sum(1))
+
+    ra, rb = distance.row_stats_rect_pallas(
+        Z[:40], Z, jnp.float32(thresh), q, tile_m=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(ra), D[:40].sum(1))
+    np.testing.assert_allclose(np.asarray(rb),
+                               ((N - D[:40]) < thresh).sum(1))
+
+    got = np.asarray(distance.match_counts_pallas(Z, q, tile_m=128,
+                                                  interpret=True))
+    np.testing.assert_array_equal(got, D)
+    np.testing.assert_array_equal(np.asarray(distance.match_counts_mxu(Z, q)),
+                                  D)
+
+
+def test_plan_tiles_q31_vmem_budget():
+    """The tile planner's VMEM accounting must hold at the q=31 boundary
+    for every alignment-width regime (docs/ROADMAP.md flags q in 22..31
+    as the padded-plane regime)."""
+    q = 31
+    for N in (53, 128, 384, 1024, 3000, 4096):
+        tile, full_unroll = distance._plan_tiles(N, q)
+        Np = -(-max(N, 128) // 128) * 128
+        assert tile >= 128 and tile % 128 == 0
+        if full_unroll:
+            # full-unroll temporaries: ~(2q + 8) * tile * Np bytes
+            assert tile * (2 * q + 8) * Np <= 12 * 2 ** 20
+        else:
+            # unroll=1 temporaries: ~10 * tile * Np bytes
+            assert 10 * tile * Np <= 10 * 2 ** 20
+        # the sym kernel's scratch plane cache must also respect its
+        # budget whenever the planner enables full unroll
+        if full_unroll and tile * Np * q <= distance._SCRATCH_BUDGET:
+            assert tile * Np * q + tile * Np <= 16 * 2 ** 20
+
+
 @pytest.mark.parametrize("M,tile,kblk", [
     (40, 128, 256),    # T = 1, K padded
     (300, 128, 128),   # odd T

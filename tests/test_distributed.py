@@ -1,0 +1,105 @@
+"""Multi-process (multi-host analog) wiring smoke test.
+
+``parallel/mesh.init_distributed`` + round-robin family sharding + one
+cross-process collective, exercised with two REAL processes on the CPU
+backend (the 2-host analog of a TPU pod's one-process-per-host layout).
+The reference has no multi-process mode at all (SURVEY.md 2.9); this
+pins the wiring the CLI's ``--distributed`` flag depends on.
+
+Each child process initializes jax.distributed against a shared
+coordinator, asserts the process grid, checks its family shard, and
+attempts one psum over the 2-device global mesh. CPU cross-process
+collectives need a gloo/mpi-enabled jaxlib; when this build lacks one,
+the collective step is reported as unsupported (wiring still validated).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_CHILD = r"""
+import os, sys
+import jax
+
+# before any backend init: CPU platform (the axon plugin is preloaded)
+# and gloo cross-process collectives for the multi-process CPU client
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+
+port = sys.argv[1]
+pid = int(sys.argv[2])
+
+from gaussdca_tpu.parallel import mesh as meshlib
+
+idx, cnt = meshlib.init_distributed(coordinator=f"localhost:{port}",
+                                    num_processes=2, process_id=pid)
+assert (idx, cnt) == (pid, 2), (idx, cnt)
+
+fams = meshlib.shard_families(["a", "b", "c", "d", "e"], idx, cnt)
+want = ["a", "c", "e"] if pid == 0 else ["b", "d"]
+assert fams == want, (fams, want)
+
+print(f"WIRING-OK p{pid} devices={jax.device_count()}", flush=True)
+
+try:
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert jax.device_count() == 2
+    m = meshlib.make_mesh(2, shape=(2, 1))
+    sh = NamedSharding(m, P(("data", "model")))
+    # each process contributes its own row of the global array
+    local = np.asarray([10.0 * (pid + 1)], dtype=np.float32)
+    garr = jax.make_array_from_process_local_data(sh, local, (2,))
+    total = jax.jit(lambda x: jnp.sum(x),
+                    out_shardings=NamedSharding(m, P()))(garr)
+    assert float(total) == 30.0, float(total)
+    print(f"COLLECTIVE-OK p{pid} total={float(total)}", flush=True)
+except Exception as e:  # missing gloo/mpi CPU-collective support
+    print(f"COLLECTIVE-UNSUPPORTED p{pid}: {type(e).__name__}: {e}",
+          flush=True)
+"""
+
+
+def test_two_process_distributed_wiring(tmp_path):
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # default 1 CPU device per process
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(port), str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, cwd=repo_root)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"process {i} failed:\n{out}\n{err}"
+        assert f"WIRING-OK p{i}" in out, (out, err)
+        assert (f"COLLECTIVE-OK p{i}" in out
+                or "COLLECTIVE-UNSUPPORTED" in out), (out, err)
+    # the collective outcome must agree across processes
+    ok = ["COLLECTIVE-OK" in o for _, o, _ in outs]
+    assert all(ok) or not any(ok)

@@ -127,3 +127,52 @@ def test_n_bucketed_padding_matches_exact(golden_dir, score, pc):
     assert set(got) == set(want)
     for k, s0 in want.items():
         assert got[k] == pytest.approx(s0, rel=1e-7, abs=1e-9)
+
+
+def _synth_q31_msa():
+    """The deterministic q=31 synthetic alignment behind the
+    tests/data/synth_q31.* fixtures (see PROVENANCE.md): a 20-founder
+    star phylogeny, 4 children each, 15% mutations, alphabet pinned to
+    the reference's hard limit q=31 (src/GaussDCA.jl:26)."""
+    from gaussdca_tpu.io.fasta import MSA
+
+    rng = np.random.default_rng(31)
+    N, q = 24, 31
+    founders = rng.integers(1, q + 1, size=(20, N), dtype=np.uint8)
+    rows = []
+    for f in founders:
+        for _ in range(4):
+            child = f.copy()
+            mut = rng.random(N) < 0.15
+            child[mut] = rng.integers(1, q + 1, size=mut.sum())
+            rows.append(child)
+    Z = np.stack(rows)
+    Z[0, 0] = q
+    return MSA(tokens=Z, headers=[f"s{i}" for i in range(len(Z))],
+               q=int(Z.max()))
+
+
+@pytest.mark.parametrize("score,pc,fixture", [
+    ("frob", 0.8, "synth_q31.FNRout.txt"),
+    ("DI", 0.2, "synth_q31.DIRout.txt"),
+])
+def test_synthetic_q31_golden(golden_dir, score, pc, fixture):
+    """End-to-end regression at the q=31 alphabet boundary (self-generated
+    f64 fixture — the reference's own golden data never exceeds q=21)."""
+    from gaussdca_tpu import api
+    from gaussdca_tpu.core.config import GDCAConfig
+
+    msa = _synth_q31_msa()
+    assert msa.q == 31
+    res = api.gdca_from_msa(msa, GDCAConfig(score=score, pseudocount=pc,
+                                            min_separation=2))
+    want = {}
+    for line in open(os.path.join(golden_dir, fixture)):
+        t = line.split()
+        want[(int(t[0]), int(t[1]))] = float(t[2])
+    got = {(i, j): s for i, j, s in res.ranking}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        # the fixture text is "%e" (7 significant digits): compare at the
+        # format's own resolution
+        assert got[k] == pytest.approx(v, rel=5e-7, abs=1e-9)

@@ -54,6 +54,72 @@ def test_mesh_shapes():
         meshlib.make_mesh(8, shape=(3, 2))
 
 
+@pytest.mark.parametrize("score,buckets", [("frob", (0, 0)),
+                                           ("DI", (0, 0)),
+                                           ("frob", (32, 32))])
+def test_api_mesh_dispatch(score, buckets):
+    """The public entry point dispatches to the sharded pipeline
+    (VERDICT r1 item 1): gdca_from_msa(..., mesh=...) matches the
+    single-chip run, with and without shape buckets."""
+    from gaussdca_tpu.api import gdca_from_msa
+    from gaussdca_tpu.core.config import GDCAConfig
+    from gaussdca_tpu.io.fasta import MSA
+
+    q = 8
+    Z = np.asarray(_toy(M=48, N=24, q=q), dtype=np.uint8)
+    msa = MSA(tokens=Z, headers=[f"s{i}" for i in range(Z.shape[0])], q=q)
+    mb, nb = buckets
+    cfg = GDCAConfig(pseudocount=0.5, theta="auto", score=score,
+                     min_separation=2, m_bucket=mb, n_bucket=nb)
+    r0 = gdca_from_msa(msa, cfg)
+    m = meshlib.make_mesh(8, shape=(4, 2))
+    r1 = gdca_from_msa(msa, cfg, mesh=m)
+    assert r1.theta == pytest.approx(r0.theta, rel=1e-12)
+    assert r1.meff == pytest.approx(r0.meff, rel=1e-12)
+    got0 = {(i, j): x for i, j, x in r0.ranking}
+    got1 = {(i, j): x for i, j, x in r1.ranking}
+    assert set(got0) == set(got1)
+    for k, v in got0.items():
+        assert got1[k] == pytest.approx(v, rel=1e-9, abs=1e-12)
+
+
+def test_api_mesh_spec_forms():
+    """mesh='auto' and mesh=(dp, tp) resolve; bad specs raise."""
+    from gaussdca_tpu.api import resolve_mesh
+
+    m = resolve_mesh("auto")
+    assert m.devices.size == jax.device_count()
+    m2 = resolve_mesh((2, 4))
+    assert dict(m2.shape) == {"data": 2, "model": 4}
+    with pytest.raises(ValueError):
+        resolve_mesh("bogus")
+
+
+def test_cli_mesh_golden(tmp_path, golden_dir):
+    """CLI --mesh 4,2 on the virtual 8-device mesh reproduces the golden
+    frob ranking (VERDICT r1 item 1 'done' criterion)."""
+    import os
+    from gaussdca_tpu.cli import main
+
+    rc = main([os.path.join(golden_dir, "small.fasta.gz"),
+               "-o", str(tmp_path), "--mesh", "4,2", "--quiet",
+               "--m-bucket", "0", "--n-bucket", "0",
+               "--compile-cache", "none"])
+    assert rc == 0
+    out = tmp_path / "small.rank.txt"
+    want = {}
+    for line in open(os.path.join(golden_dir, "small.FNRout.txt")):
+        t = line.split()
+        want[(int(t[0]), int(t[1]))] = float(t[2])
+    got = {}
+    for line in out.read_text().splitlines():
+        t = line.split()
+        got[(int(t[0]), int(t[1]))] = float(t[2])
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-6)
+
+
 def test_sharded_ranking_matches(golden_dir):
     """End-to-end: sharded run reproduces the single-device golden ranking
     (small alignment, frob defaults) on the virtual mesh."""
