@@ -124,7 +124,7 @@ def _stats_body(Z, pc, theta_value, *, q, theta_is_auto, dtype,
                 Z, theta, dtype=dtype,
                 match_counts_fn=(functools.partial(match_counts_fn, q=q)
                                  if match_counts_fn is not None else None),
-                m_true=m_true, n_true=n_true)
+                m_true=m_true, n_true=n_true, q=q)
     with jax.named_scope("frequencies"):
         # Stream the frequency accumulation once the one-hot would exceed
         # ~1 GB (keeps 1e5+-sequence MSAs on a single chip).

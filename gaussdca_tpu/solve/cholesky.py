@@ -22,18 +22,26 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_solve
+from jax.scipy.linalg import cho_solve, solve_triangular
 
 
 def newton_refine(C: jax.Array, X: jax.Array, iters: int,
-                  constrain=None) -> jax.Array:
+                  constrain=None, corr_precision=None) -> jax.Array:
     """Newton iterative refinement of an approximate inverse X of C.
 
     ``constrain`` (optional) is applied to each matmul product — the
     mesh-sharded caller passes a sharding-constraint function so the
     refinement matmuls distribute (solve/blocked.py).
+
+    ``corr_precision``: precision of the CORRECTION matmul X @ R only.
+    The residual matmul R = I - C X sets the achievable floor and always
+    runs HIGHEST; the correction is small (~||R||), so its own rounding
+    contributes ~eps_bf16 * ||R|| — negligible. Measured on-chip at
+    Ns=8000: corr at DEFAULT gives the same 2e-6 residual as HIGHEST at
+    half the refinement cost (PERFORMANCE.md, solve section).
     """
     p = jax.lax.Precision.HIGHEST
+    pc = corr_precision if corr_precision is not None else p
     n = C.shape[0]
     diag = jnp.arange(n)
     ident = constrain if constrain is not None else (lambda x: x)
@@ -42,9 +50,73 @@ def newton_refine(C: jax.Array, X: jax.Array, iters: int,
         # are the single-chip HBM bound at wide N)
         R = -ident(jnp.matmul(C, X, precision=p))
         R = R.at[diag, diag].add(1.0)
-        X = X + ident(jnp.matmul(X, R, precision=p))
+        X = X + ident(jnp.matmul(X, R, precision=pc))
         X = (X + X.T) * 0.5
     return X
+
+
+def _doubling_plan(n: int, base_target: int = 512):
+    """(npad, base, levels): pad n so the block grid is base * 2^k with
+    base 128-aligned and >= ``base_target`` — the geometry the doubling
+    inversion needs. Padding overhead is bounded by ~2^k * 128."""
+    k = 0
+    while -(-n // (1 << (k + 1))) >= base_target:
+        k += 1
+    nb = 1 << k
+    base = -(-n // (nb * 128)) * 128
+    return base * nb, base, k
+
+
+def tri_inverse_doubling(L: jax.Array, base: int,
+                         prec=jax.lax.Precision.DEFAULT) -> jax.Array:
+    """inv(L) for lower-triangular L by recursive block doubling.
+
+    inv([[A, 0], [B, C]]) = [[inv(A), 0], [-inv(C) B inv(A), inv(C)]]:
+    invert all nb = n/base diagonal blocks in ONE batched TRSM, then
+    combine pairs bottom-up — each of the log2(nb) levels is two batched
+    matmuls over independent pairs. Total n^3/3 flops, nearly all in
+    large MXU matmuls, vs XLA's TriangularSolve which serializes
+    128-wide panel steps (measured 5x faster at Ns=8000,
+    PERFORMANCE.md). ``n`` must equal base * 2^k (see ``_doubling_plan``;
+    identity-pad the factor otherwise).
+    """
+    n = L.shape[0]
+    nb = n // base
+    assert base * nb == n and (nb & (nb - 1)) == 0, (n, base)
+    L4 = L.reshape(nb, base, nb, base)
+    dblocks = L4[jnp.arange(nb), :, jnp.arange(nb), :]
+    eye = jnp.broadcast_to(jnp.eye(base, dtype=L.dtype), (nb, base, base))
+    dinv = jax.vmap(lambda a, e: solve_triangular(a, e, lower=True))(
+        dblocks, eye)
+    # the inverse accumulates in the [nb, nb, base, base] block view
+    V = jnp.zeros((nb, nb, base, base), L.dtype)
+    V = V.at[jnp.arange(nb), jnp.arange(nb)].set(dinv)
+    Lb = L4.transpose(0, 2, 1, 3)
+    m = base
+    while m < n:
+        k = m // base            # base blocks per half
+        npairs = n // (2 * m)
+        p0 = jnp.arange(npairs) * 2 * k
+
+        def big(Vv, r0, c0):
+            # gather the [npairs, m, m] big blocks at (r0, c0) offsets
+            idx_r = p0[:, None] + r0 + jnp.arange(k)[None, :]
+            idx_c = p0[:, None] + c0 + jnp.arange(k)[None, :]
+            out = Vv[idx_r[:, :, None], idx_c[:, None, :]]
+            return out.transpose(0, 1, 3, 2, 4).reshape(npairs, m, m)
+
+        Ai = big(V, 0, 0)
+        Ci = big(V, k, k)
+        B = big(Lb, k, 0)
+        X = -jnp.einsum("pij,pjk->pik", Ci,
+                        jnp.einsum("pij,pjk->pik", B, Ai, precision=prec),
+                        precision=prec)
+        Xb = X.reshape(npairs, k, base, k, base).transpose(0, 1, 3, 2, 4)
+        idx_r = p0[:, None] + k + jnp.arange(k)[None, :]
+        idx_c = p0[:, None] + jnp.arange(k)[None, :]
+        V = V.at[idx_r[:, :, None], idx_c[:, None, :]].set(Xb)
+        m *= 2
+    return V.transpose(0, 2, 1, 3).reshape(n, n)
 
 
 def chunked_cho_inverse(L: jax.Array, rhs_chunk: int) -> jax.Array:
@@ -76,6 +148,46 @@ def chunked_cho_inverse(L: jax.Array, rhs_chunk: int) -> jax.Array:
 # chunked_cho_inverse); 8000 (the large-golden width) still fits easily
 _CHUNKED_SOLVE_MIN = 8192
 
+# below this the f32 doubling path isn't worth its padding/gather
+# overhead (small solves are dispatch-latency-bound anyway); above the
+# max, the doubling accumulator's gather/scatter copies (several (Ns)^2
+# buffers live at the top combine level) crowd single-chip HBM — the
+# chunked-TRSM path with its bounded live set takes over there
+_DOUBLING_MIN = 2048
+_DOUBLING_MAX = 12288
+
+
+def _spd_inverse_doubling(C: jax.Array, refine_iters: int) -> jax.Array:
+    """f32 fast path: Cholesky -> doubling triangular inverse (HIGH
+    matmuls) -> Linv^T Linv at HIGH -> mixed-precision Newton.
+
+    Measured at Ns=8000 on-chip: 122 ms vs 178 ms for the
+    cho_solve(+HIGHEST Newton) path at the same ~2e-6 residual: XLA's
+    TriangularSolve serializes 128-wide panel steps at ~7 TF/s, while
+    every flop here lands in large batched MXU matmuls. The precision
+    split (PERFORMANCE.md solve section): the combine/syrk stages only
+    need a good Newton STARTING point; the final accuracy comes from
+    the HIGHEST residual matmul in ``newton_refine``.
+    """
+    n = C.shape[0]
+    npad, base, _ = _doubling_plan(n)
+    Cp = C
+    if npad != n:
+        Cp = jnp.zeros((npad, npad), C.dtype).at[:n, :n].set(C)
+        Cp = Cp.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+    with jax.default_matmul_precision("default"):
+        L = jnp.linalg.cholesky(Cp)
+    # combine/syrk at HIGH (3-pass bf16 ~ f32 accuracy): DEFAULT (1-pass
+    # bf16) was measured 40x worse on the ill-conditioned golden-large
+    # covariance (pc=0.2, Meff~26) — one Newton step cannot recover a
+    # bf16-accurate start there. HIGH costs only a few ms more (the
+    # combines are n^3/3 of mostly-batched matmuls).
+    Li = tri_inverse_doubling(L, base, prec=jax.lax.Precision.HIGH)
+    X = jnp.matmul(Li.T, Li, precision=jax.lax.Precision.HIGH)
+    X = X[:n, :n]
+    return newton_refine(C, X, max(refine_iters, 1),
+                         corr_precision=jax.lax.Precision.DEFAULT)
+
 
 def spd_inverse(C: jax.Array, *, refine_iters: int = None,
                 rhs_chunk: int = 0) -> jax.Array:
@@ -83,19 +195,27 @@ def spd_inverse(C: jax.Array, *, refine_iters: int = None,
 
     ``refine_iters=None`` picks the dtype default: 1 Newton step in f32
     (TPU), 0 in f64 (CPU golden mode, already at working precision).
-    ``rhs_chunk=0`` auto-selects: one-shot solve below 8192, chunked
-    identity columns above (HBM bound, see ``chunked_cho_inverse``).
 
-    The factorization/solve run at DEFAULT matmul precision even under
-    an ambient "highest" context: measured on-chip, multi-pass chol/TRSM
-    is ~35x slower and gives the SAME residual — the f32 accuracy comes
-    from the HIGHEST-precision Newton refinement (and the HIGHEST
-    statistics einsums upstream), not from the factorization passes.
-    f64 (CPU) is unaffected (precision contexts are f32-only).
+    f64 (golden mode) runs the LAPACK-like path: Cholesky + triangular
+    solves against the identity (``rhs_chunk=0`` auto-selects one-shot
+    below 8192, chunked identity columns above — HBM bound, see
+    ``chunked_cho_inverse``).
+
+    f32 at 2048 <= Ns <= 12288 runs the doubling fast path
+    (``_spd_inverse_doubling``): all-matmul triangular inversion +
+    mixed-precision Newton — same residual, ~1.6x faster on-chip, and a
+    far smaller live set than XLA's TRSM at wide Ns. The factorization
+    runs at DEFAULT matmul precision even under an ambient "highest"
+    context: measured on-chip, multi-pass chol/TRSM is ~35x slower and
+    gives the SAME residual — the f32 accuracy comes from the HIGHEST
+    residual matmul in the Newton refinement, not the factorization.
     """
     n = C.shape[0]
     if refine_iters is None:
         refine_iters = 0 if C.dtype == jnp.float64 else 1
+    if C.dtype != jnp.float64 and refine_iters and \
+            _DOUBLING_MIN <= n <= _DOUBLING_MAX:
+        return _spd_inverse_doubling(C, refine_iters)
     fact_prec = "highest" if (C.dtype == jnp.float64 or not refine_iters) \
         else "default"
     with jax.default_matmul_precision(fact_prec):

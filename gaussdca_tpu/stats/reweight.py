@@ -102,6 +102,7 @@ def compute_weights(
     match_counts_fn=None,
     m_true: int = None,
     n_true: int = None,
+    q: int = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(W, Meff, resolved_theta) for a token matrix Z [M, N].
 
@@ -123,7 +124,11 @@ def compute_weights(
             raise ValueError(f"invalid theta: {theta}")
         Mt = (jnp.asarray(m_true, dtype) if m_true is not None
               else jnp.asarray(M, dtype))
-        total = (jnp.sum(counts.astype(dtype)) - Mt * Nt) / 2.0
+        # histogram closed form (see total_matches_closed_form): exact in
+        # f64 and bitwise-consistent with the streaming path; q=None
+        # scans the full 1..31 state range (absent states count 0)
+        total = (total_matches_closed_form(Z, q or 31, dtype)
+                 - Mt * Nt) / 2.0
         mfi = total / (Nt * (Mt * (Mt - 1) / 2.0))
         th = jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
     else:
@@ -133,6 +138,30 @@ def compute_weights(
         W = W * (jnp.arange(M) < jnp.asarray(m_true)).astype(dtype)
         Meff = jnp.sum(W)
     return W, Meff, th
+
+
+def total_matches_closed_form(Z: jax.Array, q: int,
+                              dtype=jnp.float64) -> jax.Array:
+    """``sum_{a,b} matches(a, b)`` over ALL ordered row pairs (incl. a=b)
+    WITHOUT any pairwise pass: matches(a,b) = sum_k 1[Z_ak = Z_bk != 0],
+    so the double sum factorizes through the per-column state histogram,
+
+        sum_ab matches = sum_k sum_{c=1..q} n_{k,c}^2,
+        n_{k,c} = #{a : Z_ak = c}.
+
+    O(M*N*q) work instead of the O(M^2*N*q) distance pass — this is what
+    makes auto-theta effectively free (the mean pairwise identity needs
+    only this total, not per-pair data), collapsing the reference's
+    two-pass reweighting design (SURVEY.md 7.4) to a single pass. Token 0
+    (padding) is excluded by summing c over 1..q only. Exact in f64; in
+    f32 the n^2 accumulation carries ~1e-7 relative error (same envelope
+    as the kernels' f32 rowsum accumulation it replaces).
+    """
+    def body(c, acc):
+        nc = jnp.sum((Z == c).astype(dtype), axis=0)
+        return acc + jnp.sum(nc * nc)
+
+    return jax.lax.fori_loop(1, q + 1, body, jnp.asarray(0.0, dtype))
 
 
 def compute_weights_streaming(
@@ -149,13 +178,11 @@ def compute_weights_streaming(
 
     ``row_stats_fn(Z, thresh, q) -> (rowsum, below)`` per ops/distance.py.
     Same semantics as ``compute_weights`` but never materializes the
-    [M, M] match matrix, so it scales to 1e5+ sequences. The auto-theta
-    branch runs the distance pass twice (theta must be resolved before the
-    threshold count), exactly like the reference's two-pass design.
-
-    Note: rowsum accumulates in f32, so for M*N > 2^24 the auto-theta mean
-    carries ~1e-7 relative error — this can only matter if floor(theta*N)
-    sits exactly on an integer boundary.
+    [M, M] match matrix, so it scales to 1e5+ sequences. Unlike the
+    reference's two-pass design (mean-identity pass, then threshold
+    pass), auto-theta here is resolved by the O(M*N*q) closed form
+    ``total_matches_closed_form`` — the O(M^2*N*q) distance kernel runs
+    exactly ONCE regardless of theta mode.
     """
     M, Np = Z.shape
     Mt = M if m_true is None else jnp.asarray(m_true, dtype)
@@ -163,10 +190,9 @@ def compute_weights_streaming(
     if isinstance(theta, str):
         if theta != "auto":
             raise ValueError(f"invalid theta: {theta}")
-        rowsum, _ = row_stats_fn(Z, jnp.asarray(0.0, jnp.float32), q)
         # padding rows/columns contribute no matches; only the pair count
         # and the per-row self-match (= Nt) change
-        total = (jnp.sum(rowsum, dtype=dtype) - Mt * Nt) / 2.0
+        total = (total_matches_closed_form(Z, q, dtype) - Mt * Nt) / 2.0
         mfi = total / (Nt * (Mt * (Mt - 1) / 2.0))
         th = jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
     else:

@@ -87,3 +87,50 @@ def test_sharded_pipeline_with_blocked_solve(score):
     assert float(meff1) == pytest.approx(float(meff0), rel=1e-12)
     np.testing.assert_allclose(np.asarray(S1), np.asarray(S0),
                                rtol=1e-8, atol=1e-11)
+
+
+def test_doubling_plan_geometry():
+    from gaussdca_tpu.solve.cholesky import _doubling_plan
+
+    for n in (1060, 2048, 2500, 4000, 8000, 20000):
+        npad, base, k = _doubling_plan(n)
+        assert npad == base * (1 << k)
+        assert npad >= n
+        assert base % 128 == 0
+        # bounded padding overhead
+        assert npad - n <= (1 << k) * 128
+
+
+def test_tri_inverse_doubling_matches_trsm():
+    from jax.scipy.linalg import solve_triangular
+    from gaussdca_tpu.solve.cholesky import (_doubling_plan,
+                                             tri_inverse_doubling)
+
+    rng = np.random.default_rng(9)
+    n = 640  # 5 * 128: forces base=320? -> plan gives base*2^k >= n
+    A = rng.standard_normal((n, 256)).astype(np.float64)
+    C = A @ A.T / 256 + n * np.eye(n)
+    L = np.linalg.cholesky(C)
+    npad, base, _ = _doubling_plan(n, base_target=128)
+    Lp = np.eye(npad)
+    Lp[:n, :n] = L
+    got = np.asarray(tri_inverse_doubling(jnp.asarray(Lp), base))[:n, :n]
+    want = np.asarray(solve_triangular(jnp.asarray(L), jnp.eye(n),
+                                       lower=True))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_spd_inverse_doubling_path_f32():
+    """The f32 doubling fast path agrees with the cho_solve path to the
+    Newton floor (it engages for 2048 <= Ns <= 12288 on the TPU dtype)."""
+    from gaussdca_tpu.solve.cholesky import (_spd_inverse_doubling,
+                                             spd_inverse)
+
+    rng = np.random.default_rng(10)
+    n = 2100  # odd size: exercises the identity padding
+    A = rng.standard_normal((n, 256)).astype(np.float32)
+    C = jnp.asarray(A @ A.T / 256 + 0.05 * n * np.eye(n, dtype=np.float32))
+    got = np.asarray(_spd_inverse_doubling(C, 1))
+    want = np.asarray(spd_inverse(C.astype(jnp.float64)))
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 5e-5, err

@@ -152,3 +152,21 @@ def test_weighted_frequencies_chunked_matches_dense():
         np.testing.assert_allclose(np.asarray(Pij1), np.asarray(Pij0),
                                    rtol=1e-13, atol=1e-15)
         assert float(Meff1) == float(Meff0)
+
+
+@pytest.mark.parametrize("q,pad", [(5, False), (21, False), (21, True)])
+def test_total_matches_closed_form(q, pad):
+    """The histogram closed form sum_k sum_c n_kc^2 must equal the brute
+    pairwise total (incl. self pairs), with token-0 padding excluded —
+    this is what makes auto-theta single-pass (SURVEY.md 7.4)."""
+    import numpy as np
+    rng = np.random.default_rng(q + pad)
+    Z = rng.integers(1, q + 1, size=(37, 19), dtype=np.int8)
+    if pad:
+        Z[-5:] = 0          # padding rows
+        Z[:, -3:] = 0       # padding columns
+    Zj = jnp.asarray(Z)
+    D = np.asarray(reweight.match_counts(Zj))  # pairwise, token-0 inert
+    want = float(D.sum())
+    got = float(reweight.total_matches_closed_form(Zj, q, jnp.float64))
+    assert got == want
