@@ -83,6 +83,29 @@ def sqrtm_spd(A: jax.Array, *, tol: float = None,
     return Y * jnp.sqrt(c)
 
 
+def sqrtm_spd_fixed(A: jax.Array, iters: int = 16) -> jax.Array:
+    """``sqrtm_spd`` with a FIXED, unrolled iteration count (f32 path).
+
+    The while_loop variant syncs its convergence scalar with the host
+    runtime every iteration — measured on this stack, each sync is a
+    ~25 ms round trip, and on slow-converging spectra the loop's 40
+    iterations take minutes. Trace-scaled NS converges in ~8 iterations
+    on golden-scale data (measured); 16 doubles the margin, unrolled
+    with no data-dependent control flow.
+    """
+    s = A.shape[-1]
+    dtype = A.dtype
+    c = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None]
+    Y = A / c
+    Z = _batch_eye(s, A.shape[:-2], dtype)
+    eye = Z
+    for _ in range(iters):
+        T = 1.5 * eye - 0.5 * jnp.einsum("...ij,...jk->...ik", Z, Y)
+        Y, Z = (jnp.einsum("...ij,...jk->...ik", Y, T),
+                jnp.einsum("...ij,...jk->...ik", T, Z))
+    return Y * jnp.sqrt(c)
+
+
 def _chol_logdet(A: jax.Array) -> jax.Array:
     """logdet of a batch of SPD matrices via the Cholesky diagonal."""
     L = jnp.linalg.cholesky(A)
@@ -123,19 +146,132 @@ def _sqrtm_fused(G: jax.Array, refine_steps: int = 2) -> jax.Array:
     return Y * jnp.sqrt(c.astype(G.dtype))
 
 
+def _bm_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Batch-minor product C[i,k,:] = sum_j A[i,j,:] * B[j,k,:].
+
+    A, B: [s, s, P] with the pair batch on the MINOR (lane) axis. The j
+    contraction is an unrolled add TREE of broadcasts — XLA fuses it
+    into one elementwise kernel over [s, s, P], turning each tiny s x s
+    matmul into full-width vector FMAs in exact f32. Measured on-chip
+    vs the alternatives at s=20, P=8e4: tree 29 ms/op-dispatch,
+    batched-gemm einsum path ~0.2 TF/s, and lax.fori_loop with an
+    [s, s, P] carry a catastrophic 269 s (per-iteration HBM round-trips
+    + loop machinery — the same pathology the old while_loop sqrtm hit
+    on some inputs). Do NOT rewrite this as a loop.
+    """
+    s = A.shape[1]
+    acc = A[:, 0, :][:, None, :] * B[0, :, :][None, :, :]
+    for j in range(1, s):
+        acc = acc + A[:, j, :][:, None, :] * B[j, :, :][None, :, :]
+    return acc
+
+
+def _di_pairs_bm(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
+                 iters: int = 16) -> jax.Array:
+    """Batch-minor DI core: the TPU-optimized twin of ``_di_pairs``.
+
+    Same math (rho -> G -> trace-scaled Newton-Schulz sqrt ->
+    logdet((I + S)/2)/2) laid out [s, s, P] so every step is fused
+    vector arithmetic instead of lowering-bound batched 20x20 gemms.
+    The logdet is unpivoted Gaussian elimination (H is SPD with
+    spectrum >= 1, so pivots are safe) — XLA's batched tiny Cholesky
+    was both slow and, on some spectra, pathologically slow. The NS
+    iteration count is FIXED (convergence at ~8 iters measured on
+    golden-scale data; 16 doubles that margin) — data-independent
+    runtime, no while_loop. Validated against the golden DI files
+    through the force_fallback cross-check and scripts/tpu_check.py.
+    """
+    s = Jb.shape[-1]
+    P0 = Jb.shape[0]
+    # 128-align the lane axis: identity-padded blocks keep every lane
+    # finite (DI of an identity triple is just discarded)
+    pad = (-P0) % 128
+    if pad:
+        eye_pad = jnp.broadcast_to(jnp.eye(s, dtype=Jb.dtype),
+                                   (pad, s, s))
+        Jb = jnp.concatenate([Jb, eye_pad], axis=0)
+        Li = jnp.concatenate([Li, eye_pad], axis=0)
+        Lj = jnp.concatenate([Lj, eye_pad], axis=0)
+    P = Jb.shape[0]
+    J = jnp.moveaxis(Jb, 0, -1)
+    LiT = jnp.moveaxis(Li, 0, -1).swapaxes(0, 1)
+    Lj_ = jnp.moveaxis(Lj, 0, -1)
+
+    rho = _bm_matmul(LiT, _bm_matmul(J, Lj_))
+    rhoT = rho.swapaxes(0, 1)
+    eye = jnp.eye(s, dtype=J.dtype)[:, :, None]
+    G = 4.0 * _bm_matmul(rho, rhoT) + eye
+
+    ar = jnp.arange(s)
+    c = jnp.sum(G[ar, ar, :], axis=0)[None, None, :]     # trace [1,1,P]
+    Y = G / c
+    Z = jnp.broadcast_to(eye, (s, s, P)).astype(J.dtype)
+    for _ in range(iters):
+        T = 1.5 * eye - 0.5 * _bm_matmul(Z, Y)
+        Y, Z = _bm_matmul(Y, T), _bm_matmul(T, Z)
+    S = Y * jnp.sqrt(c)
+
+    H = 0.5 * (S + eye)
+    H = 0.5 * (H + H.swapaxes(0, 1))
+    acc = jnp.zeros((P,), J.dtype)
+    for k in range(s):
+        pivot = H[k, k, :]
+        acc = acc + jnp.log(pivot)
+        col = H[:, k, :] / pivot[None, :]
+        H = H - col[:, None, :] * H[k, :, :][None, :, :]
+    return 0.5 * acc[:P0]
+
+
+# the batch-minor core engages above this pair count: measured on-chip,
+# small batch-minor graphs (P ~ 1.4e3 at N=53) hit a ~60 s/run runtime
+# pathology on this stack (lane padding + tiny-tensor op streams),
+# while the batched-gemm XLA path is fast there anyway; large batches
+# (P ~ 8e4) are where batched 20x20 gemms are lowering-bound and the
+# batch-minor layout wins
+_BM_MIN_PAIRS = 16384
+
+
 def _di_pairs(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
               use_pallas: bool = False) -> jax.Array:
-    """DI of a flat batch of pairs. Jb, Li, Lj: [P, s, s] -> [P]."""
+    """DI of a flat batch of pairs. Jb, Li, Lj: [P, s, s] -> [P].
+
+    f32 with ``use_pallas`` truthy and P >= _BM_MIN_PAIRS takes the
+    batch-minor fused core (``_di_pairs_bm``); otherwise this is the
+    reference jnp path (batched gemms + monitored Newton-Schulz +
+    batched Cholesky) used for f64 golden mode, small batches, and the
+    force_fallback cross-check.
+    """
+    if use_pallas and Jb.dtype == jnp.float32 and \
+            Jb.shape[0] >= _BM_MIN_PAIRS:
+        import os
+        if os.environ.get("GDCA_DI_FUSED", "").lower() in ("1", "true",
+                                                           "yes"):
+            return _di_pairs_kernel(Jb, Li, Lj)
+        return _di_pairs_bm(Jb, Li, Lj)
     s = Jb.shape[-1]
     rho = jnp.einsum("pba,pbc,pcd->pad", Li, Jb, Lj)
     G = jnp.einsum("pab,pcb->pac", rho, rho)
     G = 4.0 * G + _batch_eye(s, G.shape[:-2], G.dtype)
-    if use_pallas and G.dtype == jnp.float32:
-        S = _sqrtm_fused(G)
+    if G.dtype == jnp.float32:
+        # fixed unrolled NS: no per-iteration host sync (see
+        # sqrtm_spd_fixed); the while_loop stays for f64 golden mode
+        S = sqrtm_spd_fixed(G)
     else:
         S = sqrtm_spd(G)
     half = 0.5 * (S + _batch_eye(s, S.shape[:-2], S.dtype))
     # exact symmetry guard for the final Cholesky
+    half = 0.5 * (half + jnp.swapaxes(half, -1, -2))
+    return 0.5 * _chol_logdet(half)
+
+
+def _di_pairs_kernel(Jb, Li, Lj):
+    """Legacy opt-in: the Pallas NS kernel + XLA logdet (GDCA_DI_FUSED)."""
+    s = Jb.shape[-1]
+    rho = jnp.einsum("pba,pbc,pcd->pad", Li, Jb, Lj)
+    G = jnp.einsum("pab,pcb->pac", rho, rho)
+    G = 4.0 * G + _batch_eye(s, G.shape[:-2], G.dtype)
+    S = _sqrtm_fused(G)
+    half = 0.5 * (S + _batch_eye(s, S.shape[:-2], S.dtype))
     half = 0.5 * (half + jnp.swapaxes(half, -1, -2))
     return 0.5 * _chol_logdet(half)
 
@@ -176,19 +312,17 @@ def di_score(mJ: jax.Array, C: jax.Array, q: int,
              use_pallas: bool = None) -> jax.Array:
     """S [N, N]: Gaussian direct information per position pair.
 
-    ``use_pallas=False`` forces the jnp sqrtm. Otherwise the fused
-    NS-sqrtm kernel engages only when GDCA_DI_FUSED is truthy ("1",
-    "true", "yes") AND a TPU backend is active. Default OFF even on TPU:
-    it is only ~10% faster end-to-end but costs ~67 s of Mosaic compile
-    per shape class — a bad trade for batch mode. Note the env var is
-    read at TRACE time: set it before the first DI call of a shape class
-    (later changes won't affect already-compiled programs).
+    ``use_pallas=False`` forces the reference jnp path (monitored
+    Newton-Schulz + batched Cholesky — also the f64 golden path).
+    Otherwise, on a TPU backend the f32 batch-minor fused core
+    ``_di_pairs_bm`` runs by default; setting GDCA_DI_FUSED truthy
+    ("1"/"true"/"yes") selects the legacy Pallas NS kernel instead
+    (~67 s Mosaic compile per shape class). The env var is read at
+    TRACE time: set it before the first DI call of a shape class.
     """
     if use_pallas is not False:
-        import os
         from gaussdca_tpu.ops.dispatch import _on_tpu
-        env = os.environ.get("GDCA_DI_FUSED", "").lower()
-        use_pallas = env in ("1", "true", "yes") and _on_tpu()
+        use_pallas = _on_tpu()
     s = q - 1
     Ns = mJ.shape[0]
     N = Ns // s

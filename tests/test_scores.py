@@ -222,3 +222,46 @@ def test_ns_sqrtm_pallas_interpret_matches_jnp():
         Z = jnp.einsum("pij,pjk->pik", T, Z)
     got = np.asarray(Y * jnp.sqrt(c.astype(jnp.float32)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_di_batch_minor_matches_reference_path():
+    """The f32 batch-minor fused DI core must match the reference jnp
+    path (monitored NS + batched Cholesky) to f32 round-off — the
+    force_fallback cross-check pattern applied to the DI tail."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussdca_tpu.score.di import _di_pairs, _di_pairs_bm
+
+    rng = np.random.default_rng(4)
+    s, P = 20, 300
+    Jb = jnp.asarray(rng.standard_normal((P, s, s)).astype(np.float32)
+                     * 0.05)
+
+    def mkL(seed):
+        r = np.random.default_rng(seed)
+        M = r.standard_normal((P, s, s)).astype(np.float32) * 0.1
+        C = np.einsum("pab,pcb->pac", M, M) + np.eye(s, dtype=np.float32)
+        return jnp.asarray(np.linalg.cholesky(C))
+
+    Li, Lj = mkL(5), mkL(6)
+    want = np.asarray(_di_pairs(Jb, Li, Lj, use_pallas=False))
+    got = np.asarray(_di_pairs_bm(Jb, Li, Lj))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_di_batch_minor_small_s():
+    """q=2 edge (s=1): the batch-minor core must handle 1x1 blocks."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussdca_tpu.score.di import _di_pairs, _di_pairs_bm
+
+    rng = np.random.default_rng(7)
+    P = 40
+    Jb = jnp.asarray(rng.standard_normal((P, 1, 1)).astype(np.float32))
+    Li = jnp.asarray(
+        np.abs(rng.standard_normal((P, 1, 1))).astype(np.float32) + 0.5)
+    Lj = jnp.asarray(
+        np.abs(rng.standard_normal((P, 1, 1))).astype(np.float32) + 0.5)
+    want = np.asarray(_di_pairs(Jb, Li, Lj, use_pallas=False))
+    got = np.asarray(_di_pairs_bm(Jb, Li, Lj))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
