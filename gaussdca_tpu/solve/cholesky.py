@@ -153,8 +153,10 @@ _CHUNKED_SOLVE_MIN = 8192
 # max, the doubling accumulator's gather/scatter copies (several (Ns)^2
 # buffers live at the top combine level) crowd single-chip HBM — the
 # chunked-TRSM path with its bounded live set takes over there
+# (measured at Ns=20000: doubling 2.2 s vs chunked 2.5 s, so the cap
+# sits above the N=1000/q=21 production width)
 _DOUBLING_MIN = 2048
-_DOUBLING_MAX = 12288
+_DOUBLING_MAX = 24576
 
 
 def _spd_inverse_doubling(C: jax.Array, refine_iters: int) -> jax.Array:
@@ -201,7 +203,7 @@ def spd_inverse(C: jax.Array, *, refine_iters: int = None,
     below 8192, chunked identity columns above — HBM bound, see
     ``chunked_cho_inverse``).
 
-    f32 at 2048 <= Ns <= 12288 runs the doubling fast path
+    f32 at 2048 <= Ns <= 24576 runs the doubling fast path
     (``_spd_inverse_doubling``): all-matmul triangular inversion +
     mixed-precision Newton — same residual, ~1.6x faster on-chip, and a
     far smaller live set than XLA's TRSM at wide Ns. The factorization

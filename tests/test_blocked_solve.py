@@ -122,7 +122,7 @@ def test_tri_inverse_doubling_matches_trsm():
 
 def test_spd_inverse_doubling_path_f32():
     """The f32 doubling fast path agrees with the cho_solve path to the
-    Newton floor (it engages for 2048 <= Ns <= 12288 on the TPU dtype)."""
+    Newton floor (it engages for 2048 <= Ns <= 24576 on the TPU dtype)."""
     from gaussdca_tpu.solve.cholesky import (_spd_inverse_doubling,
                                              spd_inverse)
 
