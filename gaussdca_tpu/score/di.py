@@ -168,34 +168,47 @@ def _bm_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
 
 def _di_pairs_bm(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
                  iters: int = 16) -> jax.Array:
+    """Batch-minor DI core on batch-MAJOR inputs ([P, s, s] -> [P]).
+
+    Thin wrapper over ``_di_pairs_bm_minor``; prefer the minor-layout
+    entry point when the caller can gather into [s, s, P] directly —
+    batch-major [P, s, s] f32 arrays carry a 7.7x (8, 128)-tiling
+    padding tax on TPU (a 20 x 20 minor block pads to 24 x 128).
+    """
+    return _di_pairs_bm_minor(jnp.moveaxis(Jb, 0, -1),
+                              jnp.moveaxis(Li, 0, -1),
+                              jnp.moveaxis(Lj, 0, -1), iters=iters)
+
+
+def _di_pairs_bm_minor(J: jax.Array, Li: jax.Array, Lj: jax.Array,
+                       iters: int = 16) -> jax.Array:
     """Batch-minor DI core: the TPU-optimized twin of ``_di_pairs``.
 
-    Same math (rho -> G -> trace-scaled Newton-Schulz sqrt ->
-    logdet((I + S)/2)/2) laid out [s, s, P] so every step is fused
-    vector arithmetic instead of lowering-bound batched 20x20 gemms.
-    The logdet is unpivoted Gaussian elimination (H is SPD with
-    spectrum >= 1, so pivots are safe) — XLA's batched tiny Cholesky
-    was both slow and, on some spectra, pathologically slow. The NS
-    iteration count is FIXED (convergence at ~8 iters measured on
+    Inputs [s, s, P] (pair batch on the lane axis). Same math (rho -> G
+    -> trace-scaled Newton-Schulz sqrt -> logdet((I + S)/2)/2) but every
+    step is fused vector arithmetic instead of lowering-bound batched
+    20x20 gemms. The logdet is unpivoted Gaussian elimination (H is SPD
+    with spectrum >= 1, so pivots are safe) — XLA's batched tiny
+    Cholesky was both slow and, on some spectra, pathologically slow.
+    The NS iteration count is FIXED (convergence at ~8 iters measured on
     golden-scale data; 16 doubles that margin) — data-independent
     runtime, no while_loop. Validated against the golden DI files
     through the force_fallback cross-check and scripts/tpu_check.py.
     """
-    s = Jb.shape[-1]
-    P0 = Jb.shape[0]
-    # 128-align the lane axis: identity-padded blocks keep every lane
+    s = J.shape[0]
+    P0 = J.shape[-1]
+    # 128-align the lane axis: identity-padded lanes keep every value
     # finite (DI of an identity triple is just discarded)
     pad = (-P0) % 128
     if pad:
-        eye_pad = jnp.broadcast_to(jnp.eye(s, dtype=Jb.dtype),
-                                   (pad, s, s))
-        Jb = jnp.concatenate([Jb, eye_pad], axis=0)
-        Li = jnp.concatenate([Li, eye_pad], axis=0)
-        Lj = jnp.concatenate([Lj, eye_pad], axis=0)
-    P = Jb.shape[0]
-    J = jnp.moveaxis(Jb, 0, -1)
-    LiT = jnp.moveaxis(Li, 0, -1).swapaxes(0, 1)
-    Lj_ = jnp.moveaxis(Lj, 0, -1)
+        eye_pad = jnp.broadcast_to(jnp.eye(s, dtype=J.dtype)[:, :, None],
+                                   (s, s, pad))
+        J = jnp.concatenate([J, eye_pad], axis=-1)
+        Li = jnp.concatenate([Li, eye_pad], axis=-1)
+        Lj = jnp.concatenate([Lj, eye_pad], axis=-1)
+    P = J.shape[-1]
+    LiT = Li.swapaxes(0, 1)
+    Lj_ = Lj
 
     rho = _bm_matmul(LiT, _bm_matmul(J, Lj_))
     rhoT = rho.swapaxes(0, 1)
@@ -331,12 +344,36 @@ def di_score(mJ: jax.Array, C: jax.Array, q: int,
 
     iu, ju = np.triu_indices(N, k=1)
     P = iu.size
-    Jb = J4[iu, :, ju, :]
-    Li = Lsite[iu]
-    Lj = Lsite[ju]
 
-    di = di_pairs_flat(Jb, Li, Lj, pair_chunk=pair_chunk,
-                       use_pallas=use_pallas)
+    import os
+    bm = (use_pallas and mJ.dtype == jnp.float32 and P >= _BM_MIN_PAIRS
+          and os.environ.get("GDCA_DI_FUSED", "").lower()
+          not in ("1", "true", "yes"))
+    if bm:
+        # gather straight into batch-minor layout: [P, s, s] f32 arrays
+        # pay a 7.7x (8, 128)-tiling padding tax on TPU (20x20 minor
+        # blocks pad to 24x128), so the [s, s, P] gather both avoids
+        # that memory/bandwidth and feeds the bm core directly. Chunked
+        # by a static python loop (lax.map stacking would rebuild the
+        # padded batch-major intermediate).
+        from gaussdca_tpu.utils.chunked import balanced_chunk
+        J4T = J4.transpose(1, 3, 0, 2)          # [s, s, N, N]
+        LsT = Lsite.transpose(1, 2, 0)          # [s, s, N]
+        chunk = (P if P <= pair_chunk
+                 else balanced_chunk(P, pair_chunk, align=128))
+        outs = []
+        for c0 in range(0, P, chunk):
+            ii = iu[c0:c0 + chunk]
+            jj = ju[c0:c0 + chunk]
+            outs.append(_di_pairs_bm_minor(
+                J4T[:, :, ii, jj], LsT[:, :, ii], LsT[:, :, jj]))
+        di = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    else:
+        Jb = J4[iu, :, ju, :]
+        Li = Lsite[iu]
+        Lj = Lsite[ju]
+        di = di_pairs_flat(Jb, Li, Lj, pair_chunk=pair_chunk,
+                           use_pallas=use_pallas)
 
     S = jnp.zeros((N, N), mJ.dtype)
     S = S.at[iu, ju].set(di)
