@@ -103,3 +103,96 @@ def test_two_process_distributed_wiring(tmp_path):
     # the collective outcome must agree across processes
     ok = ["COLLECTIVE-OK" in o for _, o, _ in outs]
     assert all(ok) or not any(ok)
+
+
+_CLI_CHILD = r"""
+import os, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+
+port, pid, out_dir, merge = sys.argv[1:5]
+inputs = sys.argv[5:]
+
+os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = pid
+
+from gaussdca_tpu.cli import main
+
+rc = main(inputs + ["-o", out_dir, "--distributed", "--quiet",
+                    "--merge-output", merge,
+                    "--m-bucket", "0", "--n-bucket", "0",
+                    "--compile-cache", "none", "--top-k", "5",
+                    "--min-separation", "2"])
+print(f"CLI-RC p{pid} {rc}", flush=True)
+"""
+
+
+def test_cli_distributed_two_process(tmp_path):
+    """End-to-end --distributed CLI across two real processes: families
+    round-robin, per-process merge shard files (the ADVICE r1 fix for
+    the merge-output truncation race), all outputs present."""
+    import numpy as np
+
+    # four tiny synthetic families
+    rng = np.random.default_rng(0)
+    inputs = []
+    for k in range(4):
+        lines = []
+        for m in range(30):
+            seq = "".join("ACDEFGHIKLMNPQRSTVWY-"[c] for c in
+                          rng.integers(0, 21, size=12))
+            lines.append(f">s{m}\n{seq}\n")
+        p = tmp_path / f"fam{k}.fasta"
+        p.write_text("".join(lines))
+        inputs.append(str(p))
+
+    script = tmp_path / "cli_child.py"
+    script.write_text(_CLI_CHILD)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    out_dir = tmp_path / "out"
+    merge = str(tmp_path / "merged.txt")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(port), str(i), str(out_dir),
+         merge] + inputs,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, cwd=repo_root) for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"process {i} failed:\n{out}\n{err}"
+        assert f"CLI-RC p{i} 0" in out, (out, err)
+    # all four families produced rankings (2 per process)
+    for k in range(4):
+        f = out_dir / f"fam{k}.rank.txt"
+        assert f.exists(), sorted(os.listdir(out_dir))
+        assert len(f.read_text().splitlines()) == 5
+    # per-process merge shards, no shared-file truncation
+    part0 = tmp_path / "merged.txt.part0of2"
+    part1 = tmp_path / "merged.txt.part1of2"
+    assert part0.exists() and part1.exists()
+    assert not (tmp_path / "merged.txt").exists()
+    fams0 = {line.split()[0] for line in part0.read_text().splitlines()}
+    fams1 = {line.split()[0] for line in part1.read_text().splitlines()}
+    assert fams0 == {"fam0", "fam2"} and fams1 == {"fam1", "fam3"}
