@@ -87,12 +87,19 @@ def _di_sharded(mesh: Mesh, mJ, C, q: int, *, use_pallas: bool = False,
 
     The P = N(N-1)/2 pair integrals are embarrassingly parallel: the
     (replicated, small) J blocks and site Cholesky factors are gathered
-    into a flat [P_pad, s, s] batch, split over every mesh axis, and each
-    device runs the chunked batched integrals (score/di.di_pairs_flat) on
-    its own slab — no communication until the final (tiny) [N, N]
-    scatter. Padding pairs reuse index (0, 0); their integrals are
-    computed (1/ndev overhead at most) and discarded.
+    into a flat pair batch, split over every mesh axis, and each device
+    runs the chunked batched integrals on its own slab — no
+    communication until the final (tiny) [N, N] scatter. Padding pairs
+    reuse index (0, 0); their integrals are computed (1/ndev overhead at
+    most) and discarded.
+
+    Large f32 batches gather straight into batch-MINOR layout
+    ([s, s, P], pairs on the lane axis — batch-major [P, s, s] f32
+    carries a 7.7x (8, 128)-tiling padding tax on TPU) and run the
+    batch-minor core per device (score/di._di_pairs_bm_minor).
     """
+    from gaussdca_tpu.score.di import _BM_MIN_PAIRS, _di_pairs_bm_minor
+
     s = q - 1
     N = mJ.shape[0] // s
     J4 = mJ.reshape(N, s, N, s)
@@ -104,17 +111,42 @@ def _di_sharded(mesh: Mesh, mJ, C, q: int, *, use_pallas: bool = False,
     Pp = -(-Pn // ndev) * ndev
     iu_p = np.concatenate([iu, np.zeros(Pp - Pn, iu.dtype)])
     ju_p = np.concatenate([ju, np.zeros(Pp - Pn, ju.dtype)])
-    Jb = J4[iu_p, :, ju_p, :]
-    Li = Lsite[iu_p]
-    Lj = Lsite[ju_p]
 
     dev_axes = (DATA_AXIS, MODEL_AXIS)
-    body = functools.partial(di_pairs_flat, pair_chunk=pair_chunk,
-                             use_pallas=use_pallas)
-    di = shard_map(
-        body, mesh=mesh,
-        in_specs=(P(dev_axes, None, None),) * 3,
-        out_specs=P(dev_axes), check_vma=False)(Jb, Li, Lj)
+    bm = (use_pallas and mJ.dtype == jnp.float32
+          and Pp // ndev >= _BM_MIN_PAIRS)
+    if bm:
+        J4T = J4.transpose(1, 3, 0, 2)          # [s, s, N, N]
+        LsT = Lsite.transpose(1, 2, 0)          # [s, s, N]
+        Jm = J4T[:, :, iu_p, ju_p]              # [s, s, Pp]
+        Lim = LsT[:, :, iu_p]
+        Ljm = LsT[:, :, ju_p]
+
+        def body(jm, lim, ljm):
+            # local slab [s, s, P_local]; chunk with a static loop
+            Pl = jm.shape[-1]
+            chunk = min(Pl, pair_chunk)
+            outs = [
+                _di_pairs_bm_minor(jm[:, :, c0:c0 + chunk],
+                                   lim[:, :, c0:c0 + chunk],
+                                   ljm[:, :, c0:c0 + chunk])
+                for c0 in range(0, Pl, chunk)]
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+        di = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(None, None, dev_axes),) * 3,
+            out_specs=P(dev_axes), check_vma=False)(Jm, Lim, Ljm)
+    else:
+        Jb = J4[iu_p, :, ju_p, :]
+        Li = Lsite[iu_p]
+        Lj = Lsite[ju_p]
+        body = functools.partial(di_pairs_flat, pair_chunk=pair_chunk,
+                                 use_pallas=use_pallas)
+        di = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(dev_axes, None, None),) * 3,
+            out_specs=P(dev_axes), check_vma=False)(Jb, Li, Lj)
     di = di[:Pn]
 
     S = jnp.zeros((N, N), mJ.dtype)
