@@ -176,3 +176,18 @@ def test_synthetic_q31_golden(golden_dir, score, pc, fixture):
         # the fixture text is "%e" (7 significant digits): compare at the
         # format's own resolution
         assert got[k] == pytest.approx(v, rel=5e-7, abs=1e-9)
+
+
+def test_gdca_convenience_kwargs(golden_dir):
+    """gdca() exposes the batch machinery (top_k, buckets, precision)
+    directly (VERDICT r1 item 10): bucketed + top-k results must match
+    the exact-shape full ranking's head."""
+    full = gdca(os.path.join(golden_dir, "small.fasta.gz"))
+    head = gdca(os.path.join(golden_dir, "small.fasta.gz"),
+                top_k=25, m_bucket=64, n_bucket=32, precision="highest")
+    assert len(head.ranking) == 25
+    want = {(i, j): s for i, j, s in full.ranking[:40]}
+    for i, j, s in head.ranking:
+        assert (i, j) in want
+        assert s == pytest.approx(want[(i, j)], rel=1e-7, abs=1e-9)
+    assert head.theta == pytest.approx(full.theta, rel=1e-9)
