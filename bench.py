@@ -123,6 +123,36 @@ def bench_family(M=5000, N=200, q=21, reps=3):
     return out
 
 
+def bench_deep(M=100_000, N=200, q=21, reps=3):
+    """Deep-MSA end-to-end: auto-theta + frob at M=1e5 (the regime the
+    single-pass auto-theta redesign targets — the O(M^2 N q) distance
+    kernel runs exactly once; round 1's two-pass design measured
+    0.77 s here)."""
+    import jax.numpy as jnp
+    from gaussdca_tpu.api import _scores_jit
+
+    Zs = [jnp.asarray(np.random.default_rng(s).integers(
+        1, q + 1, size=(M, N), dtype=np.int8)) for s in range(reps + 1)]
+
+    def run(Zi):
+        S, th, meff = _scores_jit(
+            Zi, jnp.asarray(0.8, jnp.float32), jnp.asarray(0.0, jnp.float32),
+            q=q, score="frob", theta_is_auto=True, dtype_name="float32",
+            use_pallas=True)
+        return float(np.asarray(S[0, 1]))
+
+    run(Zs[0])
+    times = []
+    for Zi in Zs[1:]:
+        t0 = time.perf_counter()
+        run(Zi)
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    log(f"[bench] deep-MSA e2e (M={M} N={N} auto-theta frob, single-pass "
+        f"reweighting): {t:.3f}s")
+    return t
+
+
 def bench_cpu_baseline(M=4096, N=384, q=21, reps=3):
     """NumPy/BLAS one-hot sgemm + threshold counts: the CPU stand-in for
     the reference's threaded Hamming loop, on this same host. Best of
@@ -206,6 +236,7 @@ def main(argv=None):
     value = bench_tpu()
     solve = bench_solve()
     fam = bench_family()
+    deep = bench_deep()
     baseline = bench_cpu_baseline()
     print(json.dumps({
         "metric": "all-pairs reweighting throughput (symmetry-halved int8 "
@@ -220,6 +251,7 @@ def main(argv=None):
         "solve_flops_per_s": solve,
         "family_frob_s": fam["frob"],
         "family_di_s": fam["DI"],
+        "deep_msa_s": deep,
     }
     if args.update_floor:
         with open(args.floor_file, "w") as fh:
@@ -235,6 +267,7 @@ def main(argv=None):
                 "lower_is_better": {
                     "family_frob_s": round(measured["family_frob_s"], 4),
                     "family_di_s": round(measured["family_di_s"], 4),
+                    "deep_msa_s": round(measured["deep_msa_s"], 4),
                 },
             }, fh, indent=1)
         log(f"[bench] floors written to {args.floor_file}")
