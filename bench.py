@@ -186,16 +186,34 @@ def check_floors(measured: dict, floor_path: str,
     exit code."""
     import os
 
+    import jax
+
     if not os.path.exists(floor_path):
         log(f"[bench --check] no floor file at {floor_path}; "
             "run with --update-floor first")
         return 1
     with open(floor_path) as fh:
         floors = json.load(fh)
+    # floors from a different backend would make the gate meaningless
+    # (CPU floors trivially pass on TPU and vice versa)
+    floor_backend = floors.get("backend")
+    if floor_backend and floor_backend != jax.default_backend():
+        log(f"[bench --check] floor file was recorded on "
+            f"'{floor_backend}' but this run is "
+            f"'{jax.default_backend()}' — refusing to compare; "
+            "re-pin with --update-floor on the target backend")
+        return 1
     rc = 0
+    for key in measured:
+        if key not in floors.get("higher_is_better", {}) and \
+                key not in floors.get("lower_is_better", {}):
+            log(f"[bench --check] metric '{key}' has no pinned floor "
+                "(stale floor file?) — not enforced")
     for key, floor in floors.get("higher_is_better", {}).items():
         got = measured.get(key)
         if got is None:
+            log(f"[bench --check] pinned metric '{key}' was not "
+                "measured this run — not enforced")
             continue
         lim = floor * (1.0 - tolerance)
         status = "OK" if got >= lim else "REGRESSION"
@@ -206,6 +224,8 @@ def check_floors(measured: dict, floor_path: str,
     for key, floor in floors.get("lower_is_better", {}).items():
         got = measured.get(key)
         if got is None:
+            log(f"[bench --check] pinned metric '{key}' was not "
+                "measured this run — not enforced")
             continue
         lim = floor * (1.0 + tolerance)
         status = "OK" if got <= lim else "REGRESSION"
@@ -253,7 +273,11 @@ def main(argv=None):
         "family_di_s": fam["DI"],
         "deep_msa_s": deep,
     }
-    if args.update_floor:
+    if args.update_floor and jax.default_backend() not in ("tpu", "axon"):
+        log(f"[bench] NOT writing floors: backend is "
+            f"'{jax.default_backend()}' — floors are TPU numbers "
+            "(a CPU floor update would neuter the gate)")
+    elif args.update_floor:
         with open(args.floor_file, "w") as fh:
             json.dump({
                 "comment": "perf floors from the last accepted TPU run; "

@@ -288,23 +288,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         # without this the pipeline would silently downcast to f32
         import jax
         jax.config.update("jax_enable_x64", True)
-        if jax.default_backend() not in ("cpu",):
+        # (querying the backend initializes it, which must not happen
+        # before jax.distributed.initialize in --distributed mode)
+        if not args.distributed and jax.default_backend() not in ("cpu",):
             print(json.dumps({"warning": "float64 requested on a "
                               f"{jax.default_backend()} backend; TPUs "
                               "have no f64 hardware"}),
                   file=sys.stderr, flush=True)
     _setup_compile_cache(args.compile_cache)
-
-    mesh_obj = None
-    if args.mesh is not None:
-        from gaussdca_tpu import api as _api
-        mesh_obj = _api.resolve_mesh(_parse_mesh(args.mesh))
-        if not args.quiet:
-            print(json.dumps({
-                "mesh": {a: int(mesh_obj.shape[a])
-                         for a in mesh_obj.axis_names}}),
-                  file=sys.stderr, flush=True)
-    mesh_desc = _mesh_desc(mesh_obj)
+    mesh_spec = _parse_mesh(args.mesh)  # validate early; resolve later
 
     profile_ctx = None
     if args.profile_dir:
@@ -336,6 +328,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(json.dumps({"process": pidx, "of": pcnt,
                               "families": len(args.inputs)}),
                   file=sys.stderr, flush=True)
+
+    # the mesh is resolved AFTER init_distributed: resolve_mesh touches
+    # jax.devices(), which initializes the XLA backend, and
+    # jax.distributed.initialize must run before any backend init (with
+    # --distributed the mesh then spans the whole pod, not one host)
+    mesh_obj = None
+    if mesh_spec is not None:
+        from gaussdca_tpu import api as _api
+        mesh_obj = _api.resolve_mesh(mesh_spec)
+        if not args.quiet:
+            print(json.dumps({
+                "mesh": {a: int(mesh_obj.shape[a])
+                         for a in mesh_obj.axis_names}}),
+                  file=sys.stderr, flush=True)
+    mesh_desc = _mesh_desc(mesh_obj)
 
     t0 = time.perf_counter()
     n_err = 0

@@ -75,106 +75,6 @@ def _ns_kernel(g_ref, y_ref, z_ref, *, iters: int, s: int):
     jax.lax.fori_loop(0, iters, step, 0, unroll=1)
 
 
-def _bm_matmul(A, B, s: int):
-    """Batch-minor product C[i,k,:] = sum_j A[i,j,:] * B[j,k,:].
-
-    A, B: [s, s, tp] VMEM arrays with the pair batch on the LANE axis —
-    every multiply-add is a full-width VPU vector op in exact f32 (no
-    bf16 passes, so no HIGHEST multi-pass cost). The j loop is unrolled
-    at trace time (s is tiny)."""
-    acc = A[:, 0:1, :] * B[0:1, :, :]
-    for j in range(1, s):
-        acc = acc + A[:, j:j + 1, :] * B[j:j + 1, :, :]
-    return acc
-
-
-def _di_tail_kernel(jb_ref, li_ref, lj_ref, out_ref, *, iters: int, s: int):
-    """One [s, s, tp] slab of pairs: rho -> G -> NS sqrt -> logdet -> DI.
-
-    Everything stays in VMEM; HBM traffic is three slab reads and a
-    [1, tp] write (the DI values themselves). All arithmetic is
-    elementwise/VPU in native f32: the batched 20x20 matmuls that run at
-    ~0.2 TF/s as XLA batched gemms (lowering-bound) become s^3-per-slab
-    vector FMAs here.
-    """
-    Jb = jb_ref[:]
-    Li = li_ref[:]
-    Lj = lj_ref[:]
-    tp = Jb.shape[2]
-
-    # rho = Li^T J Lj  (batch-minor: transpose = index swap on dims 0/1)
-    LiT = jnp.swapaxes(Li, 0, 1)
-    rho = _bm_matmul(LiT, _bm_matmul(Jb, Lj, s), s)
-    # G = I + 4 rho rho^T
-    rhoT = jnp.swapaxes(rho, 0, 1)
-    G = _bm_matmul(rho, rhoT, s)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (s, s, tp), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (s, s, tp), 1)
-    eye = (ii == jj).astype(jnp.float32)
-    G = 4.0 * G + eye
-
-    # trace-scaled coupled Newton-Schulz: Y -> sqrt(G/c), Z -> inv(sqrt)
-    c = jnp.sum(jnp.sum(G * eye, axis=1, keepdims=True), axis=0,
-                keepdims=True)                     # [1, 1, tp]
-    Y = G / c
-    Z = eye
-    for _ in range(iters):
-        T = 1.5 * eye - 0.5 * _bm_matmul(Z, Y, s)
-        Y, Z = _bm_matmul(Y, T, s), _bm_matmul(T, Z, s)
-    S = Y * jnp.sqrt(c)
-
-    # H = (I + S)/2, symmetrized; DI = 1/2 logdet H via unpivoted
-    # elimination (H is SPD with spectrum >= 1 — pivots are safe)
-    H = 0.5 * (S + eye)
-    H = 0.5 * (H + jnp.swapaxes(H, 0, 1))
-    acc = jnp.zeros((1, tp), jnp.float32)
-    for k in range(s):
-        pivot = H[k:k + 1, k, :]                   # [1, tp]
-        acc = acc + jnp.log(pivot)
-        col = H[:, k:k + 1, :] / pivot[:, None, :]  # [s, 1, tp]
-        H = H - col * H[k:k + 1, :, :]
-    out_ref[:] = 0.5 * acc
-
-
-@functools.partial(jax.jit, static_argnames=("iters", "tile_p",
-                                             "interpret"))
-def di_pairs_fused_pallas(Jb: jax.Array, Li: jax.Array, Lj: jax.Array, *,
-                          iters: int = 16, tile_p: int = 128,
-                          interpret: bool = False) -> jax.Array:
-    """DI of a flat pair batch, fully fused: [P, s, s] x3 -> [P].
-
-    The batch-minor twin of ``score.di._di_pairs`` (the jnp fallback):
-    one Pallas pass computes rho, G, the NS square root, and the
-    elimination logdet per 128-pair lane slab. Native-f32 VPU
-    arithmetic reproduces the golden DI envelope without any HIGHEST
-    multi-pass dots, and the rolled-at-trace tiny loops compile in
-    seconds (the earlier MXU-batched in-kernel variant took ~67 s).
-    Pad blocks are identity-filled so every lane stays finite.
-    """
-    P, s, _ = Jb.shape
-    Pp = -(-P // tile_p) * tile_p
-    eye = jnp.broadcast_to(jnp.eye(s, dtype=jnp.float32), (Pp - P, s, s))
-
-    def prep(x):
-        x = x.astype(jnp.float32)
-        if Pp != P:
-            x = jnp.concatenate([x, eye], axis=0)
-        return jnp.moveaxis(x, 0, -1)              # [s, s, Pp]
-
-    Jm, Lim, Ljm = prep(Jb), prep(Li), prep(Lj)
-    kernel = functools.partial(_di_tail_kernel, iters=iters, s=s)
-    spec = pl.BlockSpec((s, s, tile_p), lambda i: (0, 0, i))
-    out = pl.pallas_call(
-        kernel,
-        grid=(Pp // tile_p,),
-        in_specs=[spec, spec, spec],
-        out_specs=pl.BlockSpec((1, tile_p), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((1, Pp), jnp.float32),
-        interpret=interpret,
-    )(Jm, Lim, Ljm)
-    return out[0, :P]
-
-
 @functools.partial(jax.jit, static_argnames=("iters", "tile_p",
                                              "interpret"))
 def ns_sqrtm_pallas(G: jax.Array, *, iters: int = 18, tile_p: int = 128,

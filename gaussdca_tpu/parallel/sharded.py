@@ -118,25 +118,26 @@ def _di_sharded(mesh: Mesh, mJ, C, q: int, *, use_pallas: bool = False,
     if bm:
         J4T = J4.transpose(1, 3, 0, 2)          # [s, s, N, N]
         LsT = Lsite.transpose(1, 2, 0)          # [s, s, N]
-        Jm = J4T[:, :, iu_p, ju_p]              # [s, s, Pp]
-        Lim = LsT[:, :, iu_p]
-        Ljm = LsT[:, :, ju_p]
 
-        def body(jm, lim, ljm):
-            # local slab [s, s, P_local]; chunk with a static loop
-            Pl = jm.shape[-1]
-            chunk = min(Pl, pair_chunk)
-            outs = [
-                _di_pairs_bm_minor(jm[:, :, c0:c0 + chunk],
-                                   lim[:, :, c0:c0 + chunk],
-                                   ljm[:, :, c0:c0 + chunk])
-                for c0 in range(0, Pl, chunk)]
-            return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
-
-        di = shard_map(
-            body, mesh=mesh,
+        body = shard_map(
+            _di_pairs_bm_minor, mesh=mesh,
             in_specs=(P(None, None, dev_axes),) * 3,
-            out_specs=P(dev_axes), check_vma=False)(Jm, Lim, Ljm)
+            out_specs=P(dev_axes), check_vma=False)
+
+        # chunk the GLOBAL gather too (pair_chunk pairs per device per
+        # chunk): an unchunked [s, s, Pp] gather from the replicated
+        # coupling tensor would materialize the whole pair batch on
+        # every device before the reshard — ~13 GB per operand at
+        # N=4000 — while this bounds the live set exactly like the
+        # single-chip bm path's chunked gather
+        cg = pair_chunk * ndev
+        outs = []
+        for c0 in range(0, Pp, cg):
+            ii = iu_p[c0:c0 + cg]
+            jj = ju_p[c0:c0 + cg]
+            outs.append(body(J4T[:, :, ii, jj], LsT[:, :, ii],
+                             LsT[:, :, jj]))
+        di = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     else:
         Jb = J4[iu_p, :, ju_p, :]
         Li = Lsite[iu_p]

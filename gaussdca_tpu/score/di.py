@@ -83,15 +83,16 @@ def sqrtm_spd(A: jax.Array, *, tol: float = None,
     return Y * jnp.sqrt(c)
 
 
-def sqrtm_spd_fixed(A: jax.Array, iters: int = 16) -> jax.Array:
+def sqrtm_spd_fixed(A: jax.Array, iters: int = 20) -> jax.Array:
     """``sqrtm_spd`` with a FIXED, unrolled iteration count (f32 path).
 
     The while_loop variant syncs its convergence scalar with the host
     runtime every iteration — measured on this stack, each sync is a
     ~25 ms round trip, and on slow-converging spectra the loop's 40
     iterations take minutes. Trace-scaled NS converges in ~8 iterations
-    on golden-scale data (measured); 16 doubles the margin, unrolled
-    with no data-dependent control flow.
+    on golden-scale data (measured); 20 leaves margin for cond(G) up
+    to ~3e4 (NS needs ~log2(cond) + 5 steps), unrolled with no
+    data-dependent control flow.
     """
     s = A.shape[-1]
     dtype = A.dtype
@@ -167,7 +168,7 @@ def _bm_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
 
 
 def _di_pairs_bm(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
-                 iters: int = 16) -> jax.Array:
+                 iters: int = 20) -> jax.Array:
     """Batch-minor DI core on batch-MAJOR inputs ([P, s, s] -> [P]).
 
     Thin wrapper over ``_di_pairs_bm_minor``; prefer the minor-layout
@@ -181,7 +182,7 @@ def _di_pairs_bm(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
 
 
 def _di_pairs_bm_minor(J: jax.Array, Li: jax.Array, Lj: jax.Array,
-                       iters: int = 16) -> jax.Array:
+                       iters: int = 20) -> jax.Array:
     """Batch-minor DI core: the TPU-optimized twin of ``_di_pairs``.
 
     Inputs [s, s, P] (pair batch on the lane axis). Same math (rho -> G
@@ -190,9 +191,12 @@ def _di_pairs_bm_minor(J: jax.Array, Li: jax.Array, Lj: jax.Array,
     20x20 gemms. The logdet is unpivoted Gaussian elimination (H is SPD
     with spectrum >= 1, so pivots are safe) — XLA's batched tiny
     Cholesky was both slow and, on some spectra, pathologically slow.
-    The NS iteration count is FIXED (convergence at ~8 iters measured on
-    golden-scale data; 16 doubles that margin) — data-independent
-    runtime, no while_loop. Validated against the golden DI files
+    The NS iteration count is FIXED (convergence at ~8 iters measured
+    on golden-scale data; 20 leaves margin for cond(G) ~ 3e4) —
+    data-independent runtime, no while_loop. Elimination pivots are
+    clamped at a tiny floor so an under-converged S on a pathological
+    spectrum degrades that pair's score instead of NaN-poisoning the
+    whole matrix through APC. Validated against the golden DI files
     through the force_fallback cross-check and scripts/tpu_check.py.
     """
     s = J.shape[0]
@@ -228,7 +232,9 @@ def _di_pairs_bm_minor(J: jax.Array, Li: jax.Array, Lj: jax.Array,
     H = 0.5 * (H + H.swapaxes(0, 1))
     acc = jnp.zeros((P,), J.dtype)
     for k in range(s):
-        pivot = H[k, k, :]
+        # H is SPD with spectrum >= 1 when S converged; the clamp keeps
+        # a hypothetical under-converged pair finite (bad score, not NaN)
+        pivot = jnp.maximum(H[k, k, :], jnp.asarray(1e-20, J.dtype))
         acc = acc + jnp.log(pivot)
         col = H[:, k, :] / pivot[None, :]
         H = H - col[:, None, :] * H[k, :, :][None, :, :]
@@ -250,9 +256,10 @@ def _di_pairs(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
 
     f32 with ``use_pallas`` truthy and P >= _BM_MIN_PAIRS takes the
     batch-minor fused core (``_di_pairs_bm``); otherwise this is the
-    reference jnp path (batched gemms + monitored Newton-Schulz +
-    batched Cholesky) used for f64 golden mode, small batches, and the
-    force_fallback cross-check.
+    reference jnp path — batched gemms + Newton-Schulz (monitored
+    while_loop in f64 golden mode, fixed-iteration in f32 to avoid the
+    per-iteration host sync) + batched Cholesky — used for f64, small
+    batches, and the force_fallback cross-check.
     """
     if use_pallas and Jb.dtype == jnp.float32 and \
             Jb.shape[0] >= _BM_MIN_PAIRS:
