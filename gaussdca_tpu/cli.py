@@ -298,13 +298,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     _setup_compile_cache(args.compile_cache)
     mesh_spec = _parse_mesh(args.mesh)  # validate early; resolve later
 
-    profile_ctx = None
-    if args.profile_dir:
-        import jax
-        os.makedirs(args.profile_dir, exist_ok=True)
-        profile_ctx = jax.profiler.trace(args.profile_dir)
-        profile_ctx.__enter__()
-
     from gaussdca_tpu.io import fasta
 
     # stems must be assigned over the FULL batch (collision disambiguation
@@ -343,6 +336,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                          for a in mesh_obj.axis_names}}),
                   file=sys.stderr, flush=True)
     mesh_desc = _mesh_desc(mesh_obj)
+
+    # the profiler trace is entered AFTER init_distributed/mesh
+    # resolution for the same reason the mesh is: start_trace queries
+    # the backend, and backend init must not precede
+    # jax.distributed.initialize
+    profile_ctx = None
+    if args.profile_dir:
+        import jax
+        os.makedirs(args.profile_dir, exist_ok=True)
+        profile_ctx = jax.profiler.trace(args.profile_dir)
+        profile_ctx.__enter__()
 
     t0 = time.perf_counter()
     n_err = 0

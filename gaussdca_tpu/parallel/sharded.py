@@ -98,7 +98,10 @@ def _di_sharded(mesh: Mesh, mJ, C, q: int, *, use_pallas: bool = False,
     carries a 7.7x (8, 128)-tiling padding tax on TPU) and run the
     batch-minor core per device (score/di._di_pairs_bm_minor).
     """
-    from gaussdca_tpu.score.di import _BM_MIN_PAIRS, _di_pairs_bm_minor
+    import os
+
+    from gaussdca_tpu.score.di import (_BM_MIN_PAIRS, _di_pairs_bm_minor,
+                                       di_pairs_bm_gathered)
 
     s = q - 1
     N = mJ.shape[0] // s
@@ -113,31 +116,25 @@ def _di_sharded(mesh: Mesh, mJ, C, q: int, *, use_pallas: bool = False,
     ju_p = np.concatenate([ju, np.zeros(Pp - Pn, ju.dtype)])
 
     dev_axes = (DATA_AXIS, MODEL_AXIS)
+    # same gate as di_score, including the GDCA_DI_FUSED opt-out (so
+    # the env knob selects the same kernel family on every dispatch
+    # path — it is folded into the CLI artifact cache key)
     bm = (use_pallas and mJ.dtype == jnp.float32
-          and Pp // ndev >= _BM_MIN_PAIRS)
+          and Pp // ndev >= _BM_MIN_PAIRS
+          and os.environ.get("GDCA_DI_FUSED", "").lower()
+          not in ("1", "true", "yes"))
     if bm:
-        J4T = J4.transpose(1, 3, 0, 2)          # [s, s, N, N]
-        LsT = Lsite.transpose(1, 2, 0)          # [s, s, N]
-
+        # the shared chunked minor-layout gather (score/di.py), with
+        # each chunk's per-device slab balanced and ndev-aligned; the
+        # per-chunk body is the shard_map-wrapped bm core, so the
+        # replicated pre-reshard slabs stay bounded at wide N
         body = shard_map(
             _di_pairs_bm_minor, mesh=mesh,
             in_specs=(P(None, None, dev_axes),) * 3,
             out_specs=P(dev_axes), check_vma=False)
-
-        # chunk the GLOBAL gather too (pair_chunk pairs per device per
-        # chunk): an unchunked [s, s, Pp] gather from the replicated
-        # coupling tensor would materialize the whole pair batch on
-        # every device before the reshard — ~13 GB per operand at
-        # N=4000 — while this bounds the live set exactly like the
-        # single-chip bm path's chunked gather
-        cg = pair_chunk * ndev
-        outs = []
-        for c0 in range(0, Pp, cg):
-            ii = iu_p[c0:c0 + cg]
-            jj = ju_p[c0:c0 + cg]
-            outs.append(body(J4T[:, :, ii, jj], LsT[:, :, ii],
-                             LsT[:, :, jj]))
-        di = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        di = di_pairs_bm_gathered(J4, Lsite, iu_p, ju_p,
+                                  pair_chunk=pair_chunk,
+                                  chunk_multiple=ndev, body=body)
     else:
         Jb = J4[iu_p, :, ju_p, :]
         Li = Lsite[iu_p]

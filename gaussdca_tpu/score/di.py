@@ -232,9 +232,12 @@ def _di_pairs_bm_minor(J: jax.Array, Li: jax.Array, Lj: jax.Array,
     H = 0.5 * (H + H.swapaxes(0, 1))
     acc = jnp.zeros((P,), J.dtype)
     for k in range(s):
-        # H is SPD with spectrum >= 1 when S converged; the clamp keeps
-        # a hypothetical under-converged pair finite (bad score, not NaN)
-        pivot = jnp.maximum(H[k, k, :], jnp.asarray(1e-20, J.dtype))
+        # H is SPD with spectrum >= 1 when S converged, so true pivots
+        # are >= 1; clamping at 0.1 keeps a hypothetical under-converged
+        # pair finite (bad score, not NaN) while also bounding the
+        # elimination column below (a tiny clamp like 1e-20 would blow
+        # col up to ~1e20 and overflow f32 on the next pivot)
+        pivot = jnp.maximum(H[k, k, :], jnp.asarray(0.1, J.dtype))
         acc = acc + jnp.log(pivot)
         col = H[:, k, :] / pivot[None, :]
         H = H - col[:, None, :] * H[k, :, :][None, :, :]
@@ -294,6 +297,43 @@ def _di_pairs_kernel(Jb, Li, Lj):
     half = 0.5 * (S + _batch_eye(s, S.shape[:-2], S.dtype))
     half = 0.5 * (half + jnp.swapaxes(half, -1, -2))
     return 0.5 * _chol_logdet(half)
+
+
+def di_pairs_bm_gathered(J4: jax.Array, Lsite: jax.Array,
+                         iu, ju, *, pair_chunk: int = 65536,
+                         chunk_multiple: int = 1,
+                         body=None) -> jax.Array:
+    """Batch-minor DI over (iu, ju) pair indices, gathered per chunk.
+
+    The ONE implementation of the transpose + chunked minor-layout
+    gather shared by the single-chip (``di_score``) and mesh-sharded
+    (``parallel/sharded._di_sharded``) paths: [P, s, s] batch-major
+    gathers pay a 7.7x (8, 128)-tiling padding tax, so each chunk
+    gathers straight into [s, s, chunk] and runs ``body`` (default:
+    the batch-minor core; the mesh path passes its shard_map-wrapped
+    twin). Chunks are balanced (no tiny tail slab — small batch-minor
+    graphs are a measured runtime pathology) and sized in multiples of
+    ``chunk_multiple`` (the mesh device count, so every per-device slab
+    stays equal and large).
+    """
+    from gaussdca_tpu.utils.chunked import balanced_chunk
+
+    s = J4.shape[1]
+    P = len(iu)
+    assert P % chunk_multiple == 0, (P, chunk_multiple)
+    J4T = J4.transpose(1, 3, 0, 2)          # [s, s, N, N]
+    LsT = Lsite.transpose(1, 2, 0)          # [s, s, N]
+    body = body or _di_pairs_bm_minor
+    per = P // chunk_multiple
+    chunk = (per if per <= pair_chunk
+             else balanced_chunk(per, pair_chunk, align=128))
+    chunk *= chunk_multiple
+    outs = []
+    for c0 in range(0, P, chunk):
+        ii = iu[c0:c0 + chunk]
+        jj = ju[c0:c0 + chunk]
+        outs.append(body(J4T[:, :, ii, jj], LsT[:, :, ii], LsT[:, :, jj]))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
 def di_pairs_flat(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
@@ -357,24 +397,8 @@ def di_score(mJ: jax.Array, C: jax.Array, q: int,
           and os.environ.get("GDCA_DI_FUSED", "").lower()
           not in ("1", "true", "yes"))
     if bm:
-        # gather straight into batch-minor layout: [P, s, s] f32 arrays
-        # pay a 7.7x (8, 128)-tiling padding tax on TPU (20x20 minor
-        # blocks pad to 24x128), so the [s, s, P] gather both avoids
-        # that memory/bandwidth and feeds the bm core directly. Chunked
-        # by a static python loop (lax.map stacking would rebuild the
-        # padded batch-major intermediate).
-        from gaussdca_tpu.utils.chunked import balanced_chunk
-        J4T = J4.transpose(1, 3, 0, 2)          # [s, s, N, N]
-        LsT = Lsite.transpose(1, 2, 0)          # [s, s, N]
-        chunk = (P if P <= pair_chunk
-                 else balanced_chunk(P, pair_chunk, align=128))
-        outs = []
-        for c0 in range(0, P, chunk):
-            ii = iu[c0:c0 + chunk]
-            jj = ju[c0:c0 + chunk]
-            outs.append(_di_pairs_bm_minor(
-                J4T[:, :, ii, jj], LsT[:, :, ii], LsT[:, :, jj]))
-        di = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        di = di_pairs_bm_gathered(J4, Lsite, iu, ju,
+                                  pair_chunk=pair_chunk)
     else:
         Jb = J4[iu, :, ju, :]
         Li = Lsite[iu]
