@@ -195,9 +195,15 @@ def check_floors(measured: dict, floor_path: str,
     with open(floor_path) as fh:
         floors = json.load(fh)
     # floors from a different backend would make the gate meaningless
-    # (CPU floors trivially pass on TPU and vice versa)
+    # (CPU floors trivially pass on TPU and vice versa). 'tpu' and
+    # 'axon' are the same hardware (the plugin registers under either
+    # name depending on the stack) — normalize before comparing.
+    def _norm(b):
+        return "tpu" if b in ("tpu", "axon") else b
+
     floor_backend = floors.get("backend")
-    if floor_backend and floor_backend != jax.default_backend():
+    if floor_backend and _norm(floor_backend) != _norm(
+            jax.default_backend()):
         log(f"[bench --check] floor file was recorded on "
             f"'{floor_backend}' but this run is "
             f"'{jax.default_backend()}' — refusing to compare; "

@@ -245,9 +245,11 @@ def _run_sharded_padded(mesh, tokens, cfg: GDCAConfig, *, q: int,
         use_pallas=False if cfg.resolve_fallback() else None,
         precision=cfg.precision, solve_min_dim=cfg.solve_min_dim,
         solve_block=cfg.solve_block)
+    # device_put the HOST array directly: a jnp.asarray first would
+    # stage the whole token matrix on device 0 and then reshard it —
+    # an extra full transfer per family in batch mode
     Zs = jax.device_put(
-        jnp.asarray(tokens),
-        NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None)))
+        tokens, NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None)))
     return fn(Zs, jnp.asarray(float(cfg.pseudocount), dtype),
               jnp.asarray(theta_value, dtype),
               jnp.asarray(m_true_int, jnp.int32),

@@ -297,6 +297,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                   file=sys.stderr, flush=True)
     _setup_compile_cache(args.compile_cache)
     mesh_spec = _parse_mesh(args.mesh)  # validate early; resolve later
+    if args.distributed and mesh_spec is not None:
+        # the two scale-out modes are mutually exclusive: --distributed
+        # round-robins WHOLE families across processes (each process
+        # runs its own different program), while a multi-host mesh
+        # requires every process to execute the SAME computation —
+        # combining them would desync the collectives and hang the pod
+        raise SystemExit(
+            "--distributed and --mesh cannot be combined: use "
+            "--distributed to spread families across hosts (each on its "
+            "own host-local devices), or --mesh to run each family "
+            "across all devices of a single process/pod")
 
     from gaussdca_tpu.io import fasta
 

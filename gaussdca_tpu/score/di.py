@@ -83,15 +83,17 @@ def sqrtm_spd(A: jax.Array, *, tol: float = None,
     return Y * jnp.sqrt(c)
 
 
-def sqrtm_spd_fixed(A: jax.Array, iters: int = 20) -> jax.Array:
+def sqrtm_spd_fixed(A: jax.Array, iters: int = 28) -> jax.Array:
     """``sqrtm_spd`` with a FIXED, unrolled iteration count (f32 path).
 
     The while_loop variant syncs its convergence scalar with the host
     runtime every iteration — measured on this stack, each sync is a
     ~25 ms round trip, and on slow-converging spectra the loop's 40
     iterations take minutes. Trace-scaled NS converges in ~8 iterations
-    on golden-scale data (measured); 20 leaves margin for cond(G) up
-    to ~3e4 (NS needs ~log2(cond) + 5 steps), unrolled with no
+    on golden-scale data (measured); the default 28 covers cond(G) up
+    to ~8e6 (NS needs ~log2(cond) + 5 steps; extra post-convergence
+    iterations are identity steps) — this path runs only on SMALL pair
+    batches where the extra matmuls are negligible. Unrolled, no
     data-dependent control flow.
     """
     s = A.shape[-1]
@@ -269,32 +271,27 @@ def _di_pairs(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
         import os
         if os.environ.get("GDCA_DI_FUSED", "").lower() in ("1", "true",
                                                            "yes"):
-            return _di_pairs_kernel(Jb, Li, Lj)
+            return _di_tail_gemm(Jb, Li, Lj, _sqrtm_fused)
         return _di_pairs_bm(Jb, Li, Lj)
-    s = Jb.shape[-1]
-    rho = jnp.einsum("pba,pbc,pcd->pad", Li, Jb, Lj)
-    G = jnp.einsum("pab,pcb->pac", rho, rho)
-    G = 4.0 * G + _batch_eye(s, G.shape[:-2], G.dtype)
-    if G.dtype == jnp.float32:
+    if Jb.dtype == jnp.float32:
         # fixed unrolled NS: no per-iteration host sync (see
         # sqrtm_spd_fixed); the while_loop stays for f64 golden mode
-        S = sqrtm_spd_fixed(G)
-    else:
-        S = sqrtm_spd(G)
-    half = 0.5 * (S + _batch_eye(s, S.shape[:-2], S.dtype))
-    # exact symmetry guard for the final Cholesky
-    half = 0.5 * (half + jnp.swapaxes(half, -1, -2))
-    return 0.5 * _chol_logdet(half)
+        return _di_tail_gemm(Jb, Li, Lj, sqrtm_spd_fixed)
+    return _di_tail_gemm(Jb, Li, Lj, sqrtm_spd)
 
 
-def _di_pairs_kernel(Jb, Li, Lj):
-    """Legacy opt-in: the Pallas NS kernel + XLA logdet (GDCA_DI_FUSED)."""
+def _di_tail_gemm(Jb, Li, Lj, sqrt_fn):
+    """The batched-gemm DI scaffold (rho -> G -> sqrt -> logdet),
+    parameterized by the matrix-sqrt implementation so the monitored
+    (f64), fixed-iteration (f32), and legacy-Pallas (GDCA_DI_FUSED)
+    variants share one copy of the formula."""
     s = Jb.shape[-1]
     rho = jnp.einsum("pba,pbc,pcd->pad", Li, Jb, Lj)
     G = jnp.einsum("pab,pcb->pac", rho, rho)
     G = 4.0 * G + _batch_eye(s, G.shape[:-2], G.dtype)
-    S = _sqrtm_fused(G)
+    S = sqrt_fn(G)
     half = 0.5 * (S + _batch_eye(s, S.shape[:-2], S.dtype))
+    # exact symmetry guard for the final Cholesky
     half = 0.5 * (half + jnp.swapaxes(half, -1, -2))
     return 0.5 * _chol_logdet(half)
 
