@@ -15,6 +15,7 @@ Detail lines go to stderr; stdout carries exactly the one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -303,9 +304,20 @@ def main(argv=None):
         log(f"[bench] floors written to {args.floor_file}")
     if args.check:
         if jax.default_backend() not in ("tpu", "axon"):
-            log("[bench --check] skipped: floors are TPU numbers and this "
-                f"is the {jax.default_backend()} backend")
-            return 0
+            # a perf-gate lane that silently lands on CPU (e.g. plugin
+            # init failure falling back) must FAIL visibly, not pass
+            # vacuously (ADVICE r2). GDCA_BENCH_ALLOW_CPU=1 is the
+            # explicit opt-out for local smoke runs.
+            if os.environ.get("GDCA_BENCH_ALLOW_CPU", "") == "1":
+                log("[bench --check] skipped (GDCA_BENCH_ALLOW_CPU=1): "
+                    "floors are TPU numbers and this is the "
+                    f"{jax.default_backend()} backend")
+                return 0
+            log("[bench --check] FAIL: floors are TPU numbers but this "
+                f"is the {jax.default_backend()} backend — the gate "
+                "cannot be enforced here (set GDCA_BENCH_ALLOW_CPU=1 "
+                "to skip deliberately)")
+            return 3
         return check_floors(measured, args.floor_file)
     return 0
 

@@ -218,6 +218,23 @@ def resolve_mesh(mesh) -> Any:
         "or a (data, model) shape tuple)")
 
 
+def put_global(host_array, sharding) -> jax.Array:
+    """Place a host array on a (possibly pod-spanning) mesh sharding.
+
+    Single-process: a plain ``jax.device_put`` (no staging copy through
+    device 0). Multi-process (a mesh over >1 jax process — the pod
+    execution model): ``device_put`` cannot target non-addressable
+    devices, so the global array is assembled from per-process local
+    shards via ``jax.make_array_from_callback`` — every process holds
+    the full host array (each parsed the same file), and the callback
+    hands each ADDRESSABLE device exactly its slice.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(host_array, sharding)
+    return jax.make_array_from_callback(
+        host_array.shape, sharding, lambda idx: host_array[idx])
+
+
 def _run_sharded_padded(mesh, tokens, cfg: GDCAConfig, *, q: int,
                         m_true_int: int, n_true_int: int, dtype,
                         theta_is_auto: bool, theta_value: float):
@@ -226,7 +243,9 @@ def _run_sharded_padded(mesh, tokens, cfg: GDCAConfig, *, q: int,
     ``tokens`` may already carry bucket padding; rows are further padded
     to a device-count multiple. The compiled program is cached per
     (mesh, padded shape, config) — the sharded analog of the single-chip
-    shape-class cache.
+    shape-class cache. Works unchanged when ``mesh`` spans multiple jax
+    processes (the pod execution model: every process runs this same
+    function on the same family; see ``put_global``).
     """
     from gaussdca_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
     from gaussdca_tpu.parallel.sharded import cached_scores_fn
@@ -245,15 +264,13 @@ def _run_sharded_padded(mesh, tokens, cfg: GDCAConfig, *, q: int,
         use_pallas=False if cfg.resolve_fallback() else None,
         precision=cfg.precision, solve_min_dim=cfg.solve_min_dim,
         solve_block=cfg.solve_block)
-    # device_put the HOST array directly: a jnp.asarray first would
-    # stage the whole token matrix on device 0 and then reshard it —
-    # an extra full transfer per family in batch mode
-    Zs = jax.device_put(
-        tokens, NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None)))
-    return fn(Zs, jnp.asarray(float(cfg.pseudocount), dtype),
-              jnp.asarray(theta_value, dtype),
-              jnp.asarray(m_true_int, jnp.int32),
-              jnp.asarray(n_true_int, jnp.int32))
+    Zs = put_global(np.asarray(tokens),
+                    NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None)))
+    repl = NamedSharding(mesh, P())
+    scalars = [put_global(np.asarray(v, dt), repl) for v, dt in (
+        (float(cfg.pseudocount), dtype), (theta_value, dtype),
+        (m_true_int, np.int32), (n_true_int, np.int32))]
+    return fn(Zs, *scalars)
 
 
 def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,

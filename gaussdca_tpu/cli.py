@@ -94,7 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host mode: initialize jax.distributed and "
                         "shard the family list round-robin across "
                         "processes (each family still runs on this "
-                        "host's devices)")
+                        "host's devices). Combined with --mesh this "
+                        "becomes the POD execution model: every process "
+                        "jointly executes the same sharded program over "
+                        "one global mesh spanning all processes' devices "
+                        "(process 0 writes the outputs)")
     p.add_argument("--merge-output", default=None,
                    help="additionally write one merged ranking file: "
                         "'<family> <i> <j> <score>' lines, all families "
@@ -188,13 +192,20 @@ def _output_stems(paths: List[str]) -> List[str]:
 def run_family(path: str, cfg: GDCAConfig, out_dir: str,
                top_k: Optional[int], cache_dir: Optional[str],
                quiet: bool, msa_future=None, stem: str = None,
-               cache_key: str = None, mesh=None) -> str:
+               cache_key: str = None, mesh=None, emit: bool = True,
+               cache_read: bool = True) -> Optional[str]:
     """Process one family; returns the output path.
 
     ``msa_future``: optional concurrent.futures.Future holding the
     prefetched ingest result (or raising its parse error).
     ``cache_key``: precomputed ``_cache_key`` (the batch loop computes it
     for prefetch decisions; avoids hashing the file twice).
+    ``emit=False``: run the compute but write nothing (pod-mesh
+    non-writer processes — they participate in the collectives but
+    process 0 owns the output files). ``cache_read=False``: never
+    short-circuit on an existing artifact (pod-mesh mode decides cache
+    hits collectively — a single process skipping the collective
+    program on a locally-visible artifact would hang the pod).
     """
     from gaussdca_tpu import api
     from gaussdca_tpu.io import fasta
@@ -203,18 +214,19 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
 
     if stem is None:
         stem = _stem(path)
-    os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, stem + ".rank.txt")
+    if emit:
+        os.makedirs(out_dir, exist_ok=True)
 
     log = RunLog(stem, enabled=not quiet)
 
     cached = None
-    if cache_dir:
+    if cache_dir and emit:
         os.makedirs(cache_dir, exist_ok=True)
         if cache_key is None:
             cache_key = _cache_key(path, cfg, top_k, _mesh_desc(mesh))
         cached = os.path.join(cache_dir, cache_key)
-        if os.path.exists(cached):
+        if cache_read and os.path.exists(cached):
             with open(cached) as fh, open(out_path, "w") as out:
                 out.write(fh.read())
             log.set(cached=True, output=out_path)
@@ -228,6 +240,8 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
             msa = fasta.read_fasta_alignment(path, cfg.max_gap_fraction)
     with log.stage("pipeline"):
         result = api.gdca_from_msa(msa, cfg, top_k=top_k, mesh=mesh)
+    if not emit:
+        return None
     with log.stage("emit"):
         R = result.ranking
         text = format_rank(R)
@@ -252,6 +266,32 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
             if pipe_s > 0 else None)
     log.emit()
     return out_path
+
+
+_TRANSIENT_MARKERS = ("RESOURCE_EXHAUSTED", "INTERNAL", "UNAVAILABLE",
+                      "DEADLINE_EXCEEDED", "ABORTED")
+
+
+def _retryable(e: BaseException) -> bool:
+    """One-retry policy: retry only runtime-flavored failures.
+
+    Deterministic errors (bad input/config/shape bugs: ValueError,
+    TypeError, AssertionError, ...) would fail identically on a retry —
+    retrying them doubles time-to-failure across a large batch for zero
+    benefit. Transient device/runtime state is the retry target:
+    RuntimeError subclasses (XlaRuntimeError is one) and anything whose
+    message carries an XLA/gRPC transient status code.
+    """
+    if isinstance(e, (ValueError, OSError)) and \
+            not isinstance(e, RuntimeError):
+        return False
+    if isinstance(e, RuntimeError):
+        return True
+    name = type(e).__name__
+    if "Runtime" in name or "Xla" in name:
+        return True
+    msg = str(e)
+    return any(m in msg for m in _TRANSIENT_MARKERS)
 
 
 def _setup_compile_cache(spec: str) -> None:
@@ -297,17 +337,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                   file=sys.stderr, flush=True)
     _setup_compile_cache(args.compile_cache)
     mesh_spec = _parse_mesh(args.mesh)  # validate early; resolve later
-    if args.distributed and mesh_spec is not None:
-        # the two scale-out modes are mutually exclusive: --distributed
-        # round-robins WHOLE families across processes (each process
-        # runs its own different program), while a multi-host mesh
-        # requires every process to execute the SAME computation —
-        # combining them would desync the collectives and hang the pod
-        raise SystemExit(
-            "--distributed and --mesh cannot be combined: use "
-            "--distributed to spread families across hosts (each on its "
-            "own host-local devices), or --mesh to run each family "
-            "across all devices of a single process/pod")
+    # --distributed alone round-robins WHOLE families across processes
+    # (each process runs its own independent program on its own
+    # host-local devices). --distributed WITH --mesh is the POD
+    # execution model: every process executes the SAME sharded program
+    # over one global mesh spanning all processes' devices (ICI within
+    # a host, DCN across hosts) — the multi-host scale-out of the
+    # reference's only parallelism (/root/reference/README.md:92-94).
+    pod_mesh = bool(args.distributed and mesh_spec is not None)
 
     from gaussdca_tpu.io import fasta
 
@@ -317,19 +354,31 @@ def main(argv: Optional[List[str]] = None) -> int:
     stems = all_stems
 
     merge_path = args.merge_output
+    is_writer = True
+    pcnt = 1
     if args.distributed:
         from gaussdca_tpu.parallel import mesh as meshlib
         pidx, pcnt = meshlib.init_distributed(force=True)
-        args.inputs = meshlib.shard_families(args.inputs, pidx, pcnt)
-        stems = meshlib.shard_families(all_stems, pidx, pcnt)
-        if merge_path is not None and pcnt > 1:
-            # every process opening the same path with mode "w" would
-            # truncate/interleave the others; write per-process shard
-            # files instead (concatenate them afterwards in any order —
-            # family order within each shard is preserved)
-            merge_path = f"{merge_path}.part{pidx}of{pcnt}"
+        if pod_mesh:
+            # pod mesh: all processes run the FULL family list in the
+            # same order (they jointly execute one sharded program per
+            # family); process 0 is the designated writer so outputs
+            # land exactly once (on a shared filesystem, or on host 0)
+            is_writer = pidx == 0
+            if not is_writer:
+                merge_path = None
+        else:
+            args.inputs = meshlib.shard_families(args.inputs, pidx, pcnt)
+            stems = meshlib.shard_families(all_stems, pidx, pcnt)
+            if merge_path is not None and pcnt > 1:
+                # every process opening the same path with mode "w" would
+                # truncate/interleave the others; write per-process shard
+                # files instead (concatenate them afterwards in any order
+                # — family order within each shard is preserved)
+                merge_path = f"{merge_path}.part{pidx}of{pcnt}"
         if not args.quiet:
             print(json.dumps({"process": pidx, "of": pcnt,
+                              "pod_mesh": pod_mesh,
                               "families": len(args.inputs)}),
                   file=sys.stderr, flush=True)
 
@@ -366,12 +415,41 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     cache_keys = [None] * len(args.inputs)
 
+    # Pod-mesh artifact-cache agreement: a cache hit must skip the
+    # collective program on EVERY process or on none (one process
+    # skipping while the rest enter the sharded computation would hang
+    # the pod — caches on different hosts need not have the same
+    # contents). Process 0 decides from its local cache; one broadcast
+    # ships the per-family decisions before any compute starts.
+    pod_cache_skip = [False] * len(args.inputs)
+    if pod_mesh and args.cache_dir:
+        for k in range(len(args.inputs)):
+            try:
+                cache_keys[k] = _cache_key(args.inputs[k], cfg,
+                                           args.top_k, mesh_desc)
+            except OSError:
+                cache_keys[k] = None
+        if is_writer:
+            pod_cache_skip = [
+                bool(ck and os.path.exists(
+                    os.path.join(args.cache_dir, ck)))
+                for ck in cache_keys]
+        if pcnt > 1:
+            import numpy as _np
+            from jax.experimental import multihost_utils
+            dec = multihost_utils.broadcast_one_to_all(
+                _np.asarray(pod_cache_skip, _np.bool_))
+            pod_cache_skip = [bool(x) for x in _np.asarray(dec)]
+
     def _submit(k: int, futures) -> None:
         # skip the parse for families the artifact cache will short-circuit
         # (the key is kept and passed down — the file is hashed only once)
         if pool is None or k >= len(args.inputs):
             return
-        if args.cache_dir:
+        if pod_mesh:
+            if pod_cache_skip[k]:
+                return
+        elif args.cache_dir:
             try:
                 cache_keys[k] = _cache_key(args.inputs[k], cfg, args.top_k,
                                            mesh_desc)
@@ -393,18 +471,26 @@ def main(argv: Optional[List[str]] = None) -> int:
         _submit(0, futures)
         for k, path in enumerate(args.inputs):
             _submit(k + 1, futures)
+            if pod_mesh and pod_cache_skip[k] and not is_writer:
+                continue  # pod-agreed artifact hit: nobody computes
+            # pod mode: non-writers compute but emit nothing; cache
+            # reads follow the pod-agreed decision, never local state
+            emit = is_writer
+            cache_read = (not pod_mesh) or pod_cache_skip[k]
+            quiet = args.quiet or not is_writer
             try:
                 try:
                     out_path = run_family(path, cfg, args.output_dir,
                                           args.top_k, args.cache_dir,
-                                          args.quiet,
+                                          quiet,
                                           msa_future=futures[k],
                                           stem=stems[k],
                                           cache_key=cache_keys[k],
-                                          mesh=mesh_obj)
-                except (ValueError, OSError):
-                    raise  # deterministic input/config errors: no retry
+                                          mesh=mesh_obj, emit=emit,
+                                          cache_read=cache_read)
                 except Exception as e:
+                    if not _retryable(e):
+                        raise  # deterministic errors: fail fast
                     # runtime/compile failures (XlaRuntimeError,
                     # RESOURCE_EXHAUSTED, ...) can be transient device
                     # state: one bounded retry, re-ingesting from scratch
@@ -414,9 +500,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                           file=sys.stderr, flush=True)
                     out_path = run_family(path, cfg, args.output_dir,
                                           args.top_k, args.cache_dir,
-                                          args.quiet, stem=stems[k],
+                                          quiet, stem=stems[k],
                                           cache_key=cache_keys[k],
-                                          mesh=mesh_obj)
+                                          mesh=mesh_obj, emit=emit,
+                                          cache_read=cache_read)
                 if merge_fh is not None:
                     with open(out_path) as fh:
                         for line in fh:

@@ -97,6 +97,16 @@ def _di_sharded(mesh: Mesh, mJ, C, q: int, *, use_pallas: bool = False,
     ([s, s, P], pairs on the lane axis — batch-major [P, s, s] f32
     carries a 7.7x (8, 128)-tiling padding tax on TPU) and run the
     batch-minor core per device (score/di._di_pairs_bm_minor).
+
+    Kernel-family gate: the batch-minor core engages on the PER-DEVICE
+    slab size (Pp // ndev >= _BM_MIN_PAIRS) — small per-device
+    batch-minor graphs are a measured runtime pathology (score/di.py)
+    — while the single-chip ``di_score`` gates on total P (its ndev is
+    1, so it is the same per-device rule). Consequence: a mid-size
+    family can take the bm core on one chip but the batched-gemm path
+    on a mesh; both are exact f32 of the same formula, so mesh vs
+    single-chip scores then differ only by floating-point summation
+    order (tests compare with tolerances for exactly this reason).
     """
     import os
 
@@ -268,9 +278,14 @@ def run_sharded(mesh: Mesh, Z, pc: float, theta: Union[str, float], *,
                 solve_min_dim: int = 4096, solve_block: int = 1024,
                 use_pallas: bool = None, freq_chunk: int = 0,
                 precision: str = "highest"):
-    """Convenience wrapper: pad/place Z on the mesh and run one step."""
+    """Convenience wrapper: pad/place Z on the mesh and run one step.
+
+    Works on pod-spanning meshes too (every process calls this with the
+    same host Z; see api.put_global)."""
+    from gaussdca_tpu.api import put_global
+
     theta_is_auto = isinstance(theta, str)
-    Z = jnp.asarray(Z)
+    Z = np.asarray(Z)
     M, N = Z.shape
     ndev = mesh.devices.size
     Mp = -(-M // ndev) * ndev
@@ -283,11 +298,15 @@ def run_sharded(mesh: Mesh, Z, pc: float, theta: Union[str, float], *,
                           freq_chunk=freq_chunk,
                           precision=precision)
     if Mp != M:
-        Z = jnp.concatenate(
-            [Z, jnp.zeros((Mp - M, Z.shape[1]), Z.dtype)], axis=0)
-    Zs = jax.device_put(
+        Z = np.concatenate(
+            [Z, np.zeros((Mp - M, Z.shape[1]), Z.dtype)], axis=0)
+    Zs = put_global(
         Z, NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None)))
-    pc_a = jnp.asarray(pc, dtype)
-    th_a = jnp.asarray(0.0 if theta_is_auto else float(theta), dtype)
-    return fn(Zs, pc_a, th_a, jnp.asarray(M, jnp.int32),
-              jnp.asarray(N, jnp.int32))
+    repl = NamedSharding(mesh, P())
+    np_dt = jnp.dtype(dtype)
+    pc_a = put_global(np.asarray(pc, np_dt), repl)
+    th_a = put_global(
+        np.asarray(0.0 if theta_is_auto else float(theta), np_dt), repl)
+    return fn(Zs, pc_a, th_a,
+              put_global(np.asarray(M, np.int32), repl),
+              put_global(np.asarray(N, np.int32), repl))

@@ -293,7 +293,15 @@ def _di_tail_gemm(Jb, Li, Lj, sqrt_fn):
     half = 0.5 * (S + _batch_eye(s, S.shape[:-2], S.dtype))
     # exact symmetry guard for the final Cholesky
     half = 0.5 * (half + jnp.swapaxes(half, -1, -2))
-    return 0.5 * _chol_logdet(half)
+    ld = _chol_logdet(half)
+    # under-convergence guard, mirroring the bm core's pivot clamp: on
+    # the fixed-iteration f32 paths a pathological cond(G) can leave S
+    # under-converged and (I + S)/2 indefinite, making the batched
+    # Cholesky NaN — degrade that pair's score to 0 instead of letting
+    # correct_apc propagate the NaN to the entire matrix. (A no-op for
+    # converged pairs, including the monitored f64 golden path.)
+    ld = jnp.nan_to_num(ld, nan=0.0, posinf=0.0, neginf=0.0)
+    return 0.5 * ld
 
 
 def di_pairs_bm_gathered(J4: jax.Array, Lsite: jax.Array,

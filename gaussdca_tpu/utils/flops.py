@@ -17,15 +17,19 @@ def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
                    solve_refine_iters: int = 1) -> Dict[str, float]:
     """Estimated FLOPs per stage for one family.
 
-    Reweighting counts the one-hot-matmul formulation (2*M^2*N*q per
-    all-pairs pass; two passes under auto-theta). The solve counts
-    potrf+potri-equivalent (Ns)^3 plus 4*(Ns)^3 per Newton refinement.
+    Reweighting counts the one-hot-matmul formulation (2*M^2*N*q) for
+    the ONE all-pairs pass the pipeline runs regardless of theta mode:
+    since round 2, auto-theta is the closed-form histogram reduction
+    (sum of squared per-column state counts, O(M*N*q) — see
+    stats/reweight.total_matches_closed_form), not a second distance
+    pass. The solve counts potrf+potri-equivalent (Ns)^3 plus
+    4*(Ns)^3 per Newton refinement.
     """
     s = q - 1
     Ns = N * s
-    passes = 2 if auto_theta else 1
+    auto_theta_flops = 3.0 * M * N * q if auto_theta else 0.0
     out = {
-        "reweight": passes * 2.0 * M * M * N * q,
+        "reweight": 2.0 * M * M * N * q + auto_theta_flops,
         "frequencies": 2.0 * M * Ns * Ns + 2.0 * M * Ns,
         "solve": (1.0 + 4.0 * solve_refine_iters) * Ns ** 3,
     }

@@ -110,6 +110,48 @@ def test_cli_batch_transient_runtime_error(small, tmp_path, capsys,
     assert recs[-1]["errors"] == 0
 
 
+def test_cli_batch_deterministic_error_not_retried(small, tmp_path,
+                                                   capsys, monkeypatch):
+    """Deterministic failures (TypeError-shaped config/shape bugs) fail
+    fast — exactly ONE attempt per family, no re-ingest + recompile
+    retry that would double time-to-failure across a batch (ADVICE r2)."""
+    from gaussdca_tpu import api
+
+    calls = {"n": 0}
+
+    def broken(msa, cfg, top_k=None, mesh=None):
+        calls["n"] += 1
+        raise TypeError("bad config wiring")
+
+    monkeypatch.setattr(api, "gdca_from_msa", broken)
+    rc = main([small, small, "-o", str(tmp_path)])
+    assert rc == 1
+    assert calls["n"] == 2  # one attempt per family, zero retries
+    recs = [json.loads(line) for line in
+            capsys.readouterr().err.strip().splitlines()]
+    assert not any(r.get("retry") for r in recs)
+    assert recs[-1]["errors"] == 2
+
+
+def test_retryable_predicate():
+    from gaussdca_tpu.cli import _retryable
+
+    class FakeXla(RuntimeError):
+        pass
+
+    class OddError(Exception):
+        pass
+
+    assert _retryable(RuntimeError("boom"))
+    assert _retryable(FakeXla("RESOURCE_EXHAUSTED"))
+    assert _retryable(OddError("DEADLINE_EXCEEDED: tunnel"))
+    assert not _retryable(ValueError("q too big"))
+    assert not _retryable(OSError("no such file"))
+    assert not _retryable(TypeError("bad arg"))
+    assert not _retryable(AssertionError("shape"))
+    assert not _retryable(KeyError("k"))
+
+
 def test_cli_batch_persistent_runtime_error(small, tmp_path, capsys,
                                             monkeypatch):
     """A family that fails BOTH attempts is recorded and the rest of the
@@ -155,10 +197,15 @@ def test_pipeline_flops_accounting():
     # reweighting dominates at deep M
     fl2 = pipeline_flops(100000, 100, 21, score="frob", auto_theta=True)
     assert fl2["reweight"] > 0.9 * fl2["total"]
-    # one pass without auto-theta
-    fl3 = pipeline_flops(1000, 100, 21, score="frob", auto_theta=False)
-    assert fl3["reweight"] * 2 == pipeline_flops(
-        1000, 100, 21, score="frob", auto_theta=True)["reweight"]
+    # ONE distance pass in both theta modes (single-pass closed-form
+    # auto-theta since round 2): auto adds only the O(M*N*q) histogram
+    # term, NOT a second O(M^2*N*q) pass
+    M, N, q = 1000, 100, 21
+    fl3 = pipeline_flops(M, N, q, score="frob", auto_theta=False)
+    fl4 = pipeline_flops(M, N, q, score="frob", auto_theta=True)
+    assert fl3["reweight"] == 2.0 * M * M * N * q
+    extra = fl4["reweight"] - fl3["reweight"]
+    assert 0 < extra < 0.01 * fl3["reweight"]
 
 
 def test_output_stem_collisions(tmp_path):

@@ -1,16 +1,18 @@
-"""Multi-process (multi-host analog) wiring smoke test.
+"""Multi-process (multi-host analog) tests with two REAL processes.
 
-``parallel/mesh.init_distributed`` + round-robin family sharding + one
-cross-process collective, exercised with two REAL processes on the CPU
-backend (the 2-host analog of a TPU pod's one-process-per-host layout).
-The reference has no multi-process mode at all (SURVEY.md 2.9); this
-pins the wiring the CLI's ``--distributed`` flag depends on.
+The reference has no multi-process mode at all (SURVEY.md 2.9). Three
+levels are exercised here, all with real OS processes on the CPU
+backend (the 2-host analog of a TPU pod's one-process-per-host layout):
 
-Each child process initializes jax.distributed against a shared
-coordinator, asserts the process grid, checks its family shard, and
-attempts one psum over the 2-device global mesh. CPU cross-process
-collectives need a gloo/mpi-enabled jaxlib; when this build lacks one,
-the collective step is reported as unsupported (wiring still validated).
+1. wiring: ``parallel/mesh.init_distributed`` + round-robin family
+   sharding + one psum over a 2-device global mesh,
+2. ``--distributed`` CLI: families round-robined across processes, each
+   running its own independent program,
+3. the POD execution model (``--distributed --mesh``): both processes
+   jointly execute ONE sharded program per family over a global
+   8-device mesh (2 processes x 4 virtual devices, gloo collectives),
+   golden-checked against the reference output and against the
+   single-process 8-device mesh run.
 """
 
 import os
@@ -196,3 +198,117 @@ def test_cli_distributed_two_process(tmp_path):
     fams0 = {line.split()[0] for line in part0.read_text().splitlines()}
     fams1 = {line.split()[0] for line in part1.read_text().splitlines()}
     assert fams0 == {"fam0", "fam2"} and fams1 == {"fam1", "fam3"}
+
+
+_POD_CHILD = r"""
+import os, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+
+port, pid, out_dir, cache_dir = sys.argv[1:5]
+inputs = sys.argv[5:]
+
+os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = pid
+
+from gaussdca_tpu.cli import main
+
+rc = main(inputs + ["-o", out_dir, "--distributed", "--mesh", "auto",
+                    "--dtype", "float64", "--cache-dir", cache_dir,
+                    "--m-bucket", "0", "--n-bucket", "0",
+                    "--compile-cache", "none"])
+print(f"POD-RC p{pid} {rc} ndev={jax.device_count()}", flush=True)
+"""
+
+
+def _spawn_pod_cli(tmp_path, script, args_per_proc, timeout=300):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # 4 virtual devices per process -> an 8-device global mesh
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(port), str(i)] + args_per_proc(i),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, cwd=repo_root) for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    return outs
+
+
+def test_cli_pod_mesh_two_process(tmp_path, golden_dir):
+    """The pod execution model end-to-end: 2 processes x 4 virtual
+    devices jointly run ONE sharded program (gloo collectives over the
+    8-device global mesh) on the golden small alignment, in f64.
+
+    Asserts (a) the pod run reproduces the reference's golden frob
+    ranking, (b) it matches the single-process 8-device mesh run to
+    1e-9, (c) only process 0 writes outputs, and (d) a rerun hits the
+    artifact cache with the pod-agreed (broadcast) skip decision.
+    """
+    import numpy as np
+
+    small = os.path.join(golden_dir, "small.fasta.gz")
+    script = tmp_path / "pod_child.py"
+    script.write_text(_POD_CHILD)
+    out_dirs = [tmp_path / f"out{i}" for i in range(2)]
+    cache = tmp_path / "cache"
+
+    outs = _spawn_pod_cli(
+        tmp_path, script,
+        lambda i: [str(out_dirs[i]), str(cache), small])
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"process {i} failed:\n{out}\n{err}"
+        assert f"POD-RC p{i} 0 ndev=8" in out, (out, err)
+
+    # (c) process 0 is the writer; process 1 emits nothing
+    rank0 = out_dirs[0] / "small.rank.txt"
+    assert rank0.exists()
+    assert not (out_dirs[1] / "small.rank.txt").exists()
+
+    # (a) golden frob parity (f64 exact-mode comparison semantics)
+    from tests.test_golden import todict
+    got = todict(rank0.read_text())
+    want = todict(
+        open(os.path.join(golden_dir, "small.FNRout.txt")).read())
+    assert set(got) == set(want)
+    g = np.array([got[k] for k in sorted(want)])
+    w = np.array([want[k] for k in sorted(want)])
+    np.testing.assert_allclose(g, w, rtol=1e-6, atol=1e-12)
+
+    # (b) pod run == single-process 8-device mesh run to 1e-9
+    from gaussdca_tpu import gdca
+    from gaussdca_tpu.score.rank import format_rank
+    r1 = gdca(small, mesh="auto", dtype="float64")
+    ref = todict(format_rank(r1.ranking))
+    assert set(got) == set(ref)
+    a = np.array([got[k] for k in sorted(ref)])
+    b = np.array([ref[k] for k in sorted(ref)])
+    np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
+
+    # (d) rerun: pod-agreed artifact-cache skip (broadcast decision)
+    outs2 = _spawn_pod_cli(
+        tmp_path, script,
+        lambda i: [str(out_dirs[i]), str(cache), small])
+    for i, (rc, out, err) in enumerate(outs2):
+        assert rc == 0, f"rerun process {i} failed:\n{out}\n{err}"
+    assert '"cached": true' in outs2[0][2], outs2[0][2]
+    assert todict(rank0.read_text()) == got
