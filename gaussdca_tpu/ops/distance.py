@@ -436,13 +436,16 @@ def _row_stats_sym_e8_kernel(thresh_ref, ea_ref, eb_ref,
 @functools.partial(jax.jit, static_argnames=("q", "tile_m", "kblk",
                                              "interpret"))
 def row_stats_sym_e8_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21,
-                            *, tile_m: int = 512, kblk: int = 2688,
+                            *, tile_m: int = 512, kblk: int = 0,
                             interpret: bool = False):
     """Symmetry-halved row stats over a PRECOMPUTED one-hot plane matrix.
 
     Same contract as ``row_stats_sym_pallas``. Trades M*N*q bytes of HBM
     for zero in-kernel one-hot expansion: the kernel is a pure int8
-    matmul over K = N*q, K-blocked to fit VMEM.
+    matmul over K = N*q, K-blocked to fit VMEM. ``kblk=0`` auto-sizes to
+    128*q — K slabs stay lane-aligned AND whole multiples of the plane
+    period q for every alphabet (22..31 included), so slab boundaries
+    never split a position's q planes.
 
     MEASURED SLOWER than the token-reading kernel and NOT dispatched by
     default: at M=32768/N=384 it reaches 263 TF-equiv vs 336 — the
@@ -453,6 +456,8 @@ def row_stats_sym_e8_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21,
     outpaces the VPU in future hardware.
     """
     M, N = Z.shape
+    if kblk == 0:
+        kblk = 128 * q
     Mp = _round_up(max(M, tile_m), tile_m)
     Kp = _round_up(max(N * q, kblk), kblk)
     # one-hot planes, position-major K = n*q + (c-1); token 0 -> all zero

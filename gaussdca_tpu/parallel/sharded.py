@@ -14,8 +14,10 @@ Scale-out design (new — the reference is single-process, SURVEY.md 2.9):
 - the N*s statistical dimension is MODEL-parallel for covariance
   assembly and scoring (row-sharded over the ``model`` axis),
 - the dense Cholesky solve replicates below ``solve_min_dim`` (XLA has no
-  distributed Cholesky) and switches to the mesh-blocked factorization +
-  column-sharded triangular solves of solve/blocked.py above it,
+  distributed Cholesky) and switches to the storage-sharded
+  factorization of solve/distributed.py above it — C, L, inv(L), and mJ
+  stay 1-D row-sharded end to end, so per-device memory is
+  O((Ns)^2/ndev) and the solvable Ns grows with the mesh,
 - the DI pair batch (the expensive score: P = N(N-1)/2 independent
   s x s Gaussian integrals, /root/reference/src/GaussDCA.jl:37) is
   sharded over ALL mesh devices — each device integrates only its own
@@ -47,8 +49,8 @@ from gaussdca_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from gaussdca_tpu.score.apc import correct_apc
 from gaussdca_tpu.score.di import di_pairs_flat, site_cholesky
 from gaussdca_tpu.score.frob import _fn_row
-from gaussdca_tpu.solve.blocked import spd_inverse_blocked
 from gaussdca_tpu.solve.cholesky import spd_inverse
+from gaussdca_tpu.solve.distributed import spd_inverse_dist
 from gaussdca_tpu.stats import reweight
 from gaussdca_tpu.stats.frequencies import accumulate_frequencies
 from gaussdca_tpu.stats.pseudocount import add_pseudocount, compute_C
@@ -163,6 +165,141 @@ def _di_sharded(mesh: Mesh, mJ, C, q: int, *, use_pallas: bool = False,
     return S
 
 
+def _pair_assignment(N: int, ndev: int):
+    """Static pair -> device assignment for the locally-gathered DI.
+
+    With mJ row-sharded, the device holding site row-block of i already
+    holds the s x s coupling block J_ij for EVERY j (a row of J4 spans
+    all columns), so a pair can be scored with zero communication by
+    whichever device owns either endpoint's row block. Assignment rule:
+    anchor = i when (i + j) is even, else j — deterministic and
+    near-uniform (each device gets ~P/ndev pairs +- O(N/ndev)).
+
+    Returns per-device arrays padded to a common lane-aligned Pmax:
+    local anchor row, global anchor / other site, the (i, j) scatter
+    coordinates, and a validity mask (padding slots gather block
+    (anchor_local=0, other=0) — real, finite values — and are masked
+    out of the scatter).
+    """
+    nloc = -(-N // ndev)
+    iu, ju = np.triu_indices(N, k=1)
+    use_i = ((iu + ju) % 2) == 0
+    anchor = np.where(use_i, iu, ju)
+    other = np.where(use_i, ju, iu)
+    owner = anchor // nloc
+    counts = np.bincount(owner, minlength=ndev)
+    pmax = max(1, -(-int(counts.max()) // 128) * 128)
+    shape = (ndev, pmax)
+    li = np.zeros(shape, np.int32)
+    ga = np.zeros(shape, np.int32)
+    go = np.zeros(shape, np.int32)
+    oi = np.zeros(shape, np.int32)
+    oj = np.zeros(shape, np.int32)
+    valid = np.zeros(shape, bool)
+    for d in range(ndev):
+        sel = owner == d
+        k = int(sel.sum())
+        li[d, :k] = anchor[sel] - d * nloc
+        ga[d, :k] = anchor[sel]
+        go[d, :k] = other[sel]
+        oi[d, :k] = iu[sel]
+        oj[d, :k] = ju[sel]
+        valid[d, :k] = True
+    return nloc, pmax, li, ga, go, oi, oj, valid
+
+
+def _di_sharded_local(mesh: Mesh, mJ, C, q: int, *,
+                      use_pallas: bool = False,
+                      pair_chunk: int = 65536):
+    """DI scores with mJ KEPT row-sharded (the storage-sharded path).
+
+    ``_di_sharded`` gathers pair blocks from a replicated mJ — fine
+    below ``solve_min_dim``, but it would re-replicate the (Ns)^2
+    coupling matrix the distributed solve just kept sharded. Here each
+    pair is assigned to a device that owns one endpoint's row block
+    (``_pair_assignment``), so every gather is LOCAL: per-device memory
+    stays O((Ns)^2 / ndev) through scoring.
+
+    Anchor transposition: a pair anchored at j gathers J_ji = J_ij^T
+    and swaps (L_i, L_j). DI is invariant under this: rho -> rho^T and
+    spec(rho rho^T) = spec(rho^T rho), so logdet((I + sqrtm(I + 4
+    rho rho^T))/2) is unchanged (values differ only by f32 rounding).
+
+    The site Cholesky factors [N, s, s] are tiny and replicated.
+    """
+    import os
+
+    from gaussdca_tpu.score.di import (_BM_MIN_PAIRS, _di_pairs_bm_minor,
+                                       di_pairs_flat)
+    from gaussdca_tpu.utils.chunked import balanced_chunk
+
+    s = q - 1
+    N = mJ.shape[0] // s
+    ndev = mesh.devices.size
+    dev_axes = (DATA_AXIS, MODEL_AXIS)
+    nloc, pmax, li, ga, go, oi, oj, valid = _pair_assignment(N, ndev)
+    Npd = nloc * ndev
+
+    Lsite = site_cholesky(C, q)                          # [N, s, s] tiny
+    J4 = mJ.reshape(N, s, N, s)
+    if Npd != N:
+        J4 = jnp.concatenate(
+            [J4, jnp.zeros((Npd - N, s, N, s), J4.dtype)], axis=0)
+
+    bm = (use_pallas and mJ.dtype == jnp.float32
+          and pmax >= _BM_MIN_PAIRS
+          and os.environ.get("GDCA_DI_FUSED", "").lower()
+          not in ("1", "true", "yes"))
+    chunk = (pmax if pmax <= pair_chunk
+             else balanced_chunk(pmax, pair_chunk, align=128))
+    idx_specs = (P(dev_axes),) * 3
+
+    if bm:
+        # minor-layout local gathers ([s, s, P]) feeding the batch-minor
+        # core — same layout rationale as di_pairs_bm_gathered
+        J4T = J4.transpose(1, 3, 0, 2)                   # [s, s, Npd, N]
+        J4T = _constrain(
+            J4T, NamedSharding(mesh, P(None, None, dev_axes, None)))
+        LsT = Lsite.transpose(1, 2, 0)                   # [s, s, N]
+
+        def body(J4T_loc, LsT_r, li_l, ga_l, go_l):
+            outs = []
+            for c0 in range(0, pmax, chunk):
+                sl = slice(c0, c0 + chunk)
+                Jb = J4T_loc[:, :, li_l[sl], go_l[sl]]
+                outs.append(_di_pairs_bm_minor(
+                    Jb, LsT_r[:, :, ga_l[sl]], LsT_r[:, :, go_l[sl]]))
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+        di = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(None, None, dev_axes, None), P()) + idx_specs,
+            out_specs=P(dev_axes), check_vma=False)(
+                J4T, LsT, jnp.asarray(li).reshape(-1),
+                jnp.asarray(ga).reshape(-1), jnp.asarray(go).reshape(-1))
+    else:
+        J4s = _constrain(
+            J4, NamedSharding(mesh, P(dev_axes, None, None, None)))
+
+        def body(J4_loc, Ls_r, li_l, ga_l, go_l):
+            Jb = J4_loc[li_l, :, go_l, :]                # [pmax, s, s]
+            return di_pairs_flat(Jb, Ls_r[ga_l], Ls_r[go_l],
+                                 pair_chunk=pair_chunk,
+                                 use_pallas=use_pallas)
+
+        di = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(dev_axes, None, None, None), P()) + idx_specs,
+            out_specs=P(dev_axes), check_vma=False)(
+                J4s, Lsite, jnp.asarray(li).reshape(-1),
+                jnp.asarray(ga).reshape(-1), jnp.asarray(go).reshape(-1))
+
+    di = jnp.where(jnp.asarray(valid).reshape(-1), di, 0.0)
+    S = jnp.zeros((N, N), mJ.dtype)
+    S = S.at[oi.reshape(-1), oj.reshape(-1)].add(di)
+    return S + S.T
+
+
 def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
                       theta_is_auto: bool, dtype,
                       solve_min_dim: int = 4096, solve_block: int = 1024,
@@ -224,23 +361,33 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
         Pi, Pij = add_pseudocount(Pi, Pij, pc, q, n_true=n_true)
         C = _constrain(compute_C(Pi, Pij, n_true=n_true, q=q), model2)
 
-        # --- solve: replicated below the threshold, mesh-blocked above ---
-        Crep = _constrain(C, repl)
+        # --- solve: replicated below the threshold, storage-sharded
+        # above (C, L, W, and mJ all stay row-sharded; per-device memory
+        # O((Ns)^2/ndev) — see solve/distributed.py) -----------------
         Ns = C.shape[0]
-        if Ns >= solve_min_dim:
-            blk = min(solve_block, Ns)
-            mJ = spd_inverse_blocked(Crep, block=blk, mesh=mesh)
+        storage_sharded = Ns >= solve_min_dim
+        if storage_sharded:
+            rows2 = NamedSharding(mesh, P(dev_axes, None))
+            Cuse = _constrain(C, rows2)
+            mJ = spd_inverse_dist(Cuse, mesh=mesh,
+                                  block=min(solve_block, Ns))
         else:
-            mJ = spd_inverse(Crep)
+            Cuse = _constrain(C, repl)
+            mJ = spd_inverse(Cuse)
 
         # --- scores: DI pairs / frob rows sharded over the mesh ----------
         s = q - 1
         if score == "DI":
-            S = _di_sharded(mesh, mJ, Crep, q, use_pallas=use_pallas)
+            if storage_sharded:
+                # local-gather DI: mJ is row-sharded and stays that way
+                S = _di_sharded_local(mesh, mJ, Cuse, q,
+                                      use_pallas=use_pallas)
+            else:
+                S = _di_sharded(mesh, mJ, Cuse, q, use_pallas=use_pallas)
         else:
             J4 = _constrain(
                 mJ.reshape(N, s, N, s),
-                NamedSharding(mesh, P(MODEL_AXIS, None, None, None)))
+                NamedSharding(mesh, P(dev_axes, None, None, None)))
             S = jax.vmap(lambda row: _fn_row(row, q))(J4)
             S = S * (1.0 - jnp.eye(N, dtype=dtype))
         S = correct_apc(S, n_true=n_true)

@@ -140,6 +140,48 @@ def test_kernels_q_boundaries(q):
                                   D)
 
 
+def test_kernels_q31_wide_forces_no_unroll():
+    """q=31 at a width where full unroll cannot fit VMEM: the planner
+    must select the unroll=False branch, and both row-stats kernels must
+    stay exact through it (interpret mode). This is the padded-plane
+    regime docs/ROADMAP.md flagged: plan budgets are keyed on q, not on
+    the q=21 default."""
+    q, N, M = 31, 1536, 96
+    tile, full_unroll = distance._plan_tiles(N, q)
+    assert not full_unroll  # (2q+8)*Np > 12 MB at every tile >= 128
+    rng = np.random.default_rng(31)
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    D = np.asarray(reweight.match_counts(Z))
+    thresh = 300.0
+
+    # tile_m=0: the planner's own choice (the unroll=False branch)
+    rowsum, below = distance.row_stats_pallas(
+        Z, jnp.float32(thresh), q, tile_m=0, interpret=True)
+    np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
+    np.testing.assert_allclose(np.asarray(below), ((N - D) < thresh).sum(1))
+
+    # sym kernel: full_unroll=False also disables the plane scratch ->
+    # the wide-N in-kernel path
+    rowsum, below = distance.row_stats_sym_pallas(
+        Z, jnp.float32(thresh), q, tile_m=0, interpret=True)
+    np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
+    np.testing.assert_allclose(np.asarray(below), ((N - D) < thresh).sum(1))
+
+
+def test_row_stats_sym_e8_auto_kblk_q_aligned():
+    """kblk=0 auto-sizes to 128*q: lane-aligned and plane-period-aligned
+    for non-standard alphabets (no q=21 constant in the plan)."""
+    rng = np.random.default_rng(77)
+    M, N, q = 64, 19, 29
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    D = np.asarray(reweight.match_counts(Z))
+    thresh = 5.0
+    rowsum, below = distance.row_stats_sym_e8_pallas(
+        Z, jnp.float32(thresh), q, tile_m=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
+    np.testing.assert_allclose(np.asarray(below), ((N - D) < thresh).sum(1))
+
+
 def test_plan_tiles_q31_vmem_budget():
     """The tile planner's VMEM accounting must hold at the q=31 boundary
     for every alignment-width regime (docs/ROADMAP.md flags q in 22..31
