@@ -154,6 +154,36 @@ def bench_deep(M=100_000, N=200, q=21, reps=3):
     return t
 
 
+def bench_family_n1000(M=1024, N=1000, q=21, reps=3):
+    """Wide-family DI end-to-end (M=1024, N=1000): the largest measured
+    distance-to-roofline in the single-chip pipeline (ROADMAP item 0) —
+    pinned as its own floor leg so regressions in the DI gather/concat
+    path are caught even when the small-family leg stays flat."""
+    import jax.numpy as jnp
+    from gaussdca_tpu.api import _scores_jit
+
+    rng = np.random.default_rng(5)
+    Zs = [jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+          for _ in range(reps + 1)]
+
+    def run(Zi):
+        S, th, meff = _scores_jit(
+            Zi, jnp.asarray(0.2, jnp.float32), jnp.asarray(0.2, jnp.float32),
+            q=q, score="DI", theta_is_auto=False, dtype_name="float32",
+            use_pallas=True)
+        return float(np.asarray(S[0, 1]))
+
+    run(Zs[0])
+    times = []
+    for Zi in Zs[1:]:
+        t0 = time.perf_counter()
+        run(Zi)
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    log(f"[bench] wide-family e2e (M={M} N={N} DI): {t:.3f}s")
+    return t
+
+
 def bench_cpu_baseline(M=4096, N=384, q=21, reps=3):
     """NumPy/BLAS one-hot sgemm + threshold counts: the CPU stand-in for
     the reference's threaded Hamming loop, on this same host. Best of
@@ -178,13 +208,25 @@ def bench_cpu_baseline(M=4096, N=384, q=21, reps=3):
     return pairs / best
 
 
-def check_floors(measured: dict, floor_path: str,
-                 tolerance: float = 0.15) -> int:
-    """Perf regression gate: fail when any measured metric regresses more
-    than ``tolerance`` vs the pinned floor (bench_floor.json, recorded
-    from the last accepted TPU run). Addresses SURVEY.md section 4's "no
-    asserted perf thresholds" gap in the reference. Returns a process
-    exit code."""
+def _floor_entry(floor):
+    """(value, tolerance) from a floor entry.
+
+    New format: {"value": v, "spread": s} pinned as the median of >= 3
+    solo runs with s = max relative deviation from that median; the gate
+    bites at max(2*spread, 10%). Legacy scalar floors (single-run pins)
+    keep the old blanket 15% — their variance was never recorded."""
+    if isinstance(floor, dict):
+        return float(floor["value"]), max(
+            2.0 * float(floor.get("spread", 0.0)), 0.10)
+    return float(floor), 0.15
+
+
+def check_floors(measured: dict, floor_path: str) -> int:
+    """Perf regression gate: fail when any measured metric regresses
+    beyond its pinned floor's tolerance (see ``_floor_entry``; floors
+    come from bench_floor.json, recorded by --update-floor on the TPU).
+    Addresses SURVEY.md section 4's "no asserted perf thresholds" gap in
+    the reference. Returns a process exit code."""
     import os
 
     import jax
@@ -222,25 +264,69 @@ def check_floors(measured: dict, floor_path: str,
             log(f"[bench --check] pinned metric '{key}' was not "
                 "measured this run — not enforced")
             continue
-        lim = floor * (1.0 - tolerance)
+        val, tol = _floor_entry(floor)
+        lim = val * (1.0 - tol)
         status = "OK" if got >= lim else "REGRESSION"
         if got < lim:
             rc = 1
-        log(f"[bench --check] {key}: {got:.4g} vs floor {floor:.4g} "
-            f"(limit {lim:.4g}) -> {status}")
+        log(f"[bench --check] {key}: {got:.4g} vs floor {val:.4g} "
+            f"(limit {lim:.4g}, tol {tol:.0%}) -> {status}")
     for key, floor in floors.get("lower_is_better", {}).items():
         got = measured.get(key)
         if got is None:
             log(f"[bench --check] pinned metric '{key}' was not "
                 "measured this run — not enforced")
             continue
-        lim = floor * (1.0 + tolerance)
+        val, tol = _floor_entry(floor)
+        lim = val * (1.0 + tol)
         status = "OK" if got <= lim else "REGRESSION"
         if got > lim:
             rc = 1
-        log(f"[bench --check] {key}: {got:.4g}s vs floor {floor:.4g}s "
-            f"(limit {lim:.4g}s) -> {status}")
+        log(f"[bench --check] {key}: {got:.4g}s vs floor {val:.4g}s "
+            f"(limit {lim:.4g}s, tol {tol:.0%}) -> {status}")
     return rc
+
+
+def pin_floors(samples: list) -> dict:
+    """Median + relative spread per metric from >= 1 full bench passes.
+
+    ``samples``: list of measured dicts (one per solo pass). Spread is
+    the max relative deviation from the median — recorded in the floor
+    file so the gate's tolerance reflects the measured run-to-run
+    variance instead of a blanket constant (round-2 verdict: single-run
+    pins could silently absorb 10-15% drift)."""
+    keys = samples[0].keys()
+    out = {}
+    for k in keys:
+        xs = np.asarray([s[k] for s in samples], float)
+        med = float(np.median(xs))
+        spread = float(np.max(np.abs(xs - med)) / med) if med else 0.0
+        out[k] = {"value": round(med, 4), "spread": round(spread, 4)}
+    return out
+
+
+_HIGHER = ("pairs_per_s", "solve_flops_per_s", "solve20k_flops_per_s")
+_LOWER = ("family_frob_s", "family_di_s", "family_di_n1000_s",
+          "deep_msa_s")
+
+
+def measure_all():
+    """One full bench pass -> measured-metric dict (all floor legs)."""
+    value = bench_tpu()
+    solve = bench_solve()
+    solve20k = bench_solve(Ns=20000)
+    fam = bench_family()
+    wide_di = bench_family_n1000()
+    deep = bench_deep()
+    return {
+        "pairs_per_s": value,
+        "solve_flops_per_s": solve,
+        "solve20k_flops_per_s": solve20k,
+        "family_frob_s": fam["frob"],
+        "family_di_s": fam["DI"],
+        "family_di_n1000_s": wide_di,
+        "deep_msa_s": deep,
+    }
 
 
 def main(argv=None):
@@ -249,10 +335,16 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true",
-                    help="fail (exit 1) on >15%% regression vs the pinned "
+                    help="fail (exit 1) on regression beyond each floor's "
+                         "max(2*spread, 10%%) tolerance vs the pinned "
                          "bench_floor.json (TPU backend only)")
     ap.add_argument("--update-floor", action="store_true",
-                    help="rewrite bench_floor.json from this run's numbers")
+                    help="rewrite bench_floor.json from --floor-reps full "
+                         "solo passes (median + recorded spread)")
+    ap.add_argument("--floor-reps", type=int, default=3,
+                    help="full bench passes for --update-floor (>= 3 "
+                         "recommended; the gate tolerance comes from the "
+                         "measured spread)")
     ap.add_argument("--floor-file",
                     default=os.path.join(os.path.dirname(
                         os.path.abspath(__file__)), "bench_floor.json"))
@@ -260,46 +352,35 @@ def main(argv=None):
 
     import jax
 
-    value = bench_tpu()
-    solve = bench_solve()
-    fam = bench_family()
-    deep = bench_deep()
+    measured = measure_all()
     baseline = bench_cpu_baseline()
     print(json.dumps({
         "metric": "all-pairs reweighting throughput (symmetry-halved int8 "
                   "Pallas row-stats kernel, M=32768 N=384 q=21)",
-        "value": round(value, 1),
+        "value": round(measured["pairs_per_s"], 1),
         "unit": "seq-pairs/s",
-        "vs_baseline": round(value / baseline, 2),
+        "vs_baseline": round(measured["pairs_per_s"] / baseline, 2),
     }))
 
-    measured = {
-        "pairs_per_s": value,
-        "solve_flops_per_s": solve,
-        "family_frob_s": fam["frob"],
-        "family_di_s": fam["DI"],
-        "deep_msa_s": deep,
-    }
     if args.update_floor and jax.default_backend() not in ("tpu", "axon"):
         log(f"[bench] NOT writing floors: backend is "
             f"'{jax.default_backend()}' — floors are TPU numbers "
             "(a CPU floor update would neuter the gate)")
     elif args.update_floor:
+        samples = [measured]
+        for k in range(max(args.floor_reps, 1) - 1):
+            log(f"[bench] floor-pinning pass {k + 2}/{args.floor_reps}")
+            samples.append(measure_all())
+        pinned = pin_floors(samples)
         with open(args.floor_file, "w") as fh:
             json.dump({
-                "comment": "perf floors from the last accepted TPU run; "
-                           "bench.py --check fails on >15% regression",
+                "comment": "perf floors: median of "
+                           f"{len(samples)} solo TPU passes with recorded "
+                           "relative spread; bench.py --check fails "
+                           "beyond max(2*spread, 10%)",
                 "backend": jax.default_backend(),
-                "higher_is_better": {
-                    "pairs_per_s": round(measured["pairs_per_s"], 1),
-                    "solve_flops_per_s":
-                        round(measured["solve_flops_per_s"], 1),
-                },
-                "lower_is_better": {
-                    "family_frob_s": round(measured["family_frob_s"], 4),
-                    "family_di_s": round(measured["family_di_s"], 4),
-                    "deep_msa_s": round(measured["deep_msa_s"], 4),
-                },
+                "higher_is_better": {k: pinned[k] for k in _HIGHER},
+                "lower_is_better": {k: pinned[k] for k in _LOWER},
             }, fh, indent=1)
         log(f"[bench] floors written to {args.floor_file}")
     if args.check:
