@@ -154,6 +154,7 @@ def _cache_key(path: str, cfg: GDCAConfig, top_k: Optional[int],
            cfg.resolve_fallback(), cfg.precision,
            os.environ.get("GDCA_DISTANCE_IMPL", ""),
            os.environ.get("GDCA_DI_FUSED", ""),
+           os.environ.get("GDCA_DI_TILED", ""),
            mesh_desc)
     h.update(repr(key).encode())
     return h.hexdigest()

@@ -265,3 +265,40 @@ def test_di_batch_minor_small_s():
     want = np.asarray(_di_pairs(Jb, Li, Lj, use_pallas=False))
     got = np.asarray(_di_pairs_bm(Jb, Li, Lj))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_di_tiled_matches_gathered():
+    """The dense-tile DI formulation (di_score_bm_tiled — zero gathers)
+    must be LANE-IDENTICAL to the chunked gathered batch-minor path and
+    f32-close to the reference jnp path, including N not divisible by
+    the tile and the diagonal-tile masking."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussdca_tpu.score.di import (di_pairs_bm_gathered, di_score,
+                                       di_score_bm_tiled, site_cholesky)
+
+    q, N = 6, 75                      # Npd = 128 > N: padding engaged
+    s = q - 1
+    Ns = N * s
+    rng = np.random.default_rng(11)
+    A = rng.standard_normal((Ns, Ns)).astype(np.float32) * 0.1
+    C = jnp.asarray(A @ A.T / Ns + np.eye(Ns, dtype=np.float32))
+    from gaussdca_tpu.solve.cholesky import spd_inverse
+    mJ = spd_inverse(C.astype(jnp.float64)).astype(jnp.float32)
+
+    J4 = mJ.reshape(N, s, N, s)
+    Lsite = site_cholesky(C, q)
+    S_tiled = np.asarray(di_score_bm_tiled(J4, Lsite, N, row_block=128))
+
+    iu, ju = np.triu_indices(N, k=1)
+    di = np.asarray(di_pairs_bm_gathered(J4, Lsite, iu, ju))
+    S_gath = np.zeros((N, N), np.float32)
+    S_gath[iu, ju] = di
+    S_gath = S_gath + S_gath.T
+
+    # same core, same lanes -> bitwise-equal scores
+    np.testing.assert_array_equal(S_tiled, S_gath)
+    assert np.all(np.diag(S_tiled) == 0.0)
+
+    S_ref = np.asarray(di_score(mJ, C, q, use_pallas=False))
+    np.testing.assert_allclose(S_tiled, S_ref, rtol=2e-4, atol=2e-5)
