@@ -7,9 +7,10 @@ files. ``kernels()`` returns the optimized implementations when running on
 a TPU backend, and the fallbacks elsewhere (CPU golden mode, interpreter).
 
 Env overrides:
-- ``GDCA_DISTANCE_IMPL`` in {"pallas", "pallas_full", "mxu", "fallback"}
-  picks the all-pairs identity kernel explicitly (default: pallas on TPU
-  — the symmetry-halved int8 row-stats kernel; "pallas_full" selects the
+- ``GDCA_DISTANCE_IMPL`` in {"pallas", "asym", "pallas_full", "mxu",
+  "fallback"} picks the all-pairs identity kernel explicitly (default:
+  pallas on TPU — the symmetry-halved int8 row-stats kernel; "asym"
+  selects the grouped-A asymmetric-tile variant; "pallas_full" the
   full-grid variant).
 """
 
@@ -39,7 +40,8 @@ def kernels() -> Dict[str, Optional[Callable]]:
     impl = os.environ.get("GDCA_DISTANCE_IMPL", "").lower()
     if impl == "fallback":
         return out
-    if impl not in ("pallas", "pallas_full", "mxu") and not _on_tpu():
+    if impl not in ("pallas", "asym", "pallas_full", "mxu") \
+            and not _on_tpu():
         return out
     from gaussdca_tpu.ops import distance
     if impl == "mxu":
@@ -47,6 +49,9 @@ def kernels() -> Dict[str, Optional[Callable]]:
     elif impl == "pallas_full":
         out["match_counts_fn"] = distance.match_counts_pallas
         out["row_stats_fn"] = distance.row_stats_pallas
+    elif impl == "asym":
+        out["match_counts_fn"] = distance.match_counts_pallas
+        out["row_stats_fn"] = distance.row_stats_asym_pallas
     else:
         out["match_counts_fn"] = distance.match_counts_pallas
         out["row_stats_fn"] = distance.row_stats_sym_pallas

@@ -512,6 +512,177 @@ def row_stats_sym_e8_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21,
     return fold(rs_row, rs_col)[:M], fold(cnt_row, cnt_col)[:M]
 
 
+def _row_stats_asym_kernel(thresh_ref, za_ref, zb_ref,
+                           rs_row_ref, cnt_row_ref,
+                           rs_col_ref, cnt_col_ref, ea_ref,
+                           *, q: int, n_valid: int, T: int, k: int,
+                           tile_b: int):
+    """Grid cell (g, jp): A = row-block GROUP g (k fine blocks of tile_b
+    rows, one-hot planes cached in scratch at jp == 0), B = fine block
+    beta = (g*k + jp) mod T, streamed and expanded on the fly.
+
+    The kernel is expansion-bound: per B plane the VPU compares
+    tile_b*Np tokens to feed k*tile_b*tile_b*Np MXU MACs, so the
+    expansion-to-MAC ratio is 1/(k*tile_b) — k times lower than the
+    square kernel's 1/tile. Fine sub-block r of the group covers tile
+    (alpha = g*k + r, beta) at circulant offset d = (jp - r) mod T; the
+    sub-block is live iff d is the pair's representative offset (d <=
+    T//2, with the even-T d == T/2 tie broken by alpha < T/2, and d == 0
+    the diagonal tile: row reduction counts both directions, column
+    partial zeroed). jp runs k - 1 slots past the square kernel's J so
+    every sub-row sees its full offset window; the <= k-1 dead sub-tiles
+    per cell are masked (a (k-1)/J overhead).
+    """
+    g = pl.program_id(0)
+    jp = pl.program_id(1)
+
+    @pl.when(jp == 0)
+    def _():
+        za = za_ref[:].astype(jnp.int32)
+        Np = za.shape[1]
+        for c in range(1, q + 1):
+            ea_ref[:, (c - 1) * Np:c * Np] = (za == c).astype(jnp.int8)
+
+    tile = _match_tile_cached(ea_ref, zb_ref[:], q).astype(jnp.float32)
+    thresh = thresh_ref[0, 0]
+    near = ((n_valid - tile) < thresh).astype(jnp.float32)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k * tile_b, 1), 0)
+    sub = rows // tile_b                       # fine sub-block r per row
+    alpha = g * k + sub                        # global fine block per row
+    d = (jp - sub) % T
+    if T % 2 == 0:
+        live = (d <= T // 2) & ((d != T // 2) | (alpha < T // 2))
+    else:
+        live = d <= (T - 1) // 2
+    live = live.astype(jnp.float32)            # [k*tile_b, 1]
+    col_live = live * jnp.where(d == 0, 0.0, 1.0)
+
+    rs = jnp.sum(tile * live, axis=1, keepdims=True)     # [k*tile_b, 1]
+    cnt = jnp.sum(near * live, axis=1, keepdims=True)
+    rs_c = jnp.sum(tile * col_live, axis=0)[:, None]     # [tile_b, 1]
+    cnt_c = jnp.sum(near * col_live, axis=0)[:, None]
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, rs_col_ref.shape, 1) == jp
+
+    @pl.when(jp == 0)
+    def _():
+        rs_row_ref[:] = rs
+        cnt_row_ref[:] = cnt
+        rs_col_ref[:] = jnp.where(slot, rs_c, jnp.zeros_like(rs_col_ref))
+        cnt_col_ref[:] = jnp.where(slot, cnt_c,
+                                   jnp.zeros_like(cnt_col_ref))
+
+    @pl.when(jp != 0)
+    def _():
+        rs_row_ref[:] = rs_row_ref[:] + rs
+        cnt_row_ref[:] = cnt_row_ref[:] + cnt
+        rs_col_ref[:] = jnp.where(slot, rs_c, rs_col_ref[:])
+        cnt_col_ref[:] = jnp.where(slot, cnt_c, cnt_col_ref[:])
+
+
+def _plan_asym(N: int, q: int):
+    """(tile_b, k) for the asym kernel under the 16 MB scoped-VMEM limit.
+
+    Live per cell: A-plane scratch k*t*Np*q i8, B one-hot temporaries
+    ~(q + 4)*t*Np (only B expands per cell), i32 accumulator k*t*t,
+    token tiles (k + 1)*t*Np i8. Budgeted to ~13.5 MB; candidates in
+    decreasing k*t (the expansion divisor)."""
+    Np = _round_up(max(N, 128), 128)
+    # candidates in decreasing k*t (the expansion divisor); at Np <= 256
+    # (deep-MSA widths) the larger groups fit, at Np = 512 (N in
+    # 385..512, the golden-large class) the plan lands on (256, 3)
+    for tile_b, k in ((384, 3), (512, 2), (256, 3), (256, 2),
+                      (128, 3), (128, 2)):
+        use = (k * tile_b * Np * q                 # scratch planes
+               + (q + 4) * tile_b * Np             # B-side temporaries
+               + 4 * k * tile_b * tile_b           # accumulator
+               + (k + 1) * tile_b * Np)            # token tiles
+        if use <= int(13.5 * 2 ** 20):
+            return tile_b, k
+    return 0, 1
+
+
+@functools.partial(jax.jit, static_argnames=("q", "tile_b", "k",
+                                             "interpret"))
+def row_stats_asym_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21, *,
+                          tile_b: int = 0, k: int = 0,
+                          interpret: bool = False):
+    """Asymmetric-tile ``row_stats_sym_pallas``: same contract.
+
+    A-side tiles are k fine blocks tall with their one-hot planes cached
+    in VMEM scratch (amortized over the inner jp loop), B-side tiles
+    stay one block and expand per cell — per-MAC VPU expansion drops
+    from 1/tile to 1/(k*tile). ``tile_b=0``/``k=0`` auto-plans;
+    shapes where the grouped covering cannot work (k would exceed
+    T - T//2, or no plan fits VMEM) fall back to the square kernel.
+    """
+    M, N = Z.shape
+    if tile_b == 0 or k == 0:
+        tile_b, k = _plan_asym(N, q)
+    if k < 2 or tile_b == 0:
+        return row_stats_sym_pallas(Z, thresh, q, interpret=interpret)
+    Mp = _round_up(max(M, k * tile_b), k * tile_b)
+    T = Mp // tile_b
+    Dmax = T // 2 if T % 2 == 0 else (T - 1) // 2
+    if Dmax + k > T:          # offset windows would wrap: double cover
+        return row_stats_sym_pallas(Z, thresh, q, interpret=interpret)
+    Np = _round_up(max(N, 128), 128)
+    Zp = jnp.zeros((Mp, Np), jnp.int8).at[:M, :N].set(Z.astype(jnp.int8))
+    th = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
+
+    G = Mp // (k * tile_b)
+    J = Dmax + k
+    grid = (G, J)
+    kernel = functools.partial(_row_stats_asym_kernel, q=q, n_valid=N,
+                               T=T, k=k, tile_b=tile_b)
+    row_spec = pl.BlockSpec((k * tile_b, 1), lambda g, jp: (g, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((tile_b, J), lambda g, jp: (g, 0),
+                            memory_space=pltpu.VMEM)
+    rs_row, cnt_row, rs_col, cnt_col = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda g, jp: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((k * tile_b, Np), lambda g, jp: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, Np), lambda g, jp: ((g * k + jp) % T, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(row_spec, row_spec, col_spec, col_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((G * tile_b, J), jnp.float32),
+            jax.ShapeDtypeStruct((G * tile_b, J), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((k * tile_b, Np * q), jnp.int8)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * (Mp // 2 + k * tile_b) * Np * q,
+            bytes_accessed=(G * J + G * k) * tile_b * Np + 16 * Mp * J,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(th, Zp, Zp)
+
+    # Fold slot (g, jp)'s column partials into fine block (g*k + jp) % T.
+    b_idx = (k * jnp.arange(G)[:, None] + jnp.arange(J)[None, :]) % T
+    seg = b_idx.reshape(-1)
+
+    def fold(row_part, col_part):
+        out = row_part.reshape(T, tile_b)
+        flat = col_part.reshape(G, tile_b, J).transpose(0, 2, 1)
+        out = out + jax.ops.segment_sum(
+            flat.reshape(G * J, tile_b), seg, num_segments=T)
+        return out.reshape(Mp)
+
+    rowsum = fold(rs_row, rs_col)
+    below = fold(cnt_row, cnt_col)
+    return rowsum[:M], below[:M]
+
+
 @functools.partial(jax.jit, static_argnames=("q", "tile_m", "interpret"))
 def row_stats_rect_pallas(ZA: jax.Array, ZB: jax.Array, thresh: jax.Array,
                           q: int = 21, *, tile_m: int = 0,

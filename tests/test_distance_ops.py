@@ -218,3 +218,85 @@ def test_row_stats_sym_e8_matches_dense(M, tile, kblk):
         Z, jnp.float32(thresh), q, tile_m=tile, kblk=kblk, interpret=True)
     np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
     np.testing.assert_allclose(np.asarray(below), ((N - D) < thresh).sum(1))
+
+
+@pytest.mark.parametrize("M,tile,k", [
+    (300, 16, 3),    # T = 21 (odd covering), padding rows
+    (256, 16, 2),    # T = 16 (even: the d = T/2 tie split)
+    (520, 64, 3),    # T = 9 odd, group padding (Mp = 576)
+    (1000, 128, 2),  # T = 8 even at a realistic tile, padding rows
+])
+def test_row_stats_asym_matches_dense(M, tile, k):
+    rng = np.random.default_rng(M + k)
+    N, q = 37, 21
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    D = np.asarray(reweight.match_counts(Z))
+    thresh = 9.0
+    rowsum, below = distance.row_stats_asym_pallas(
+        Z, jnp.float32(thresh), q, tile_b=tile, k=k, interpret=True)
+    np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
+    np.testing.assert_allclose(np.asarray(below), ((N - D) < thresh).sum(1))
+
+
+def test_row_stats_asym_small_T_falls_back():
+    # T = Mp/tile_b = 2 < Dmax + k: the grouped covering would wrap, so
+    # the wrapper must route to the square kernel and stay exact.
+    rng = np.random.default_rng(5)
+    N, q = 23, 21
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(40, N), dtype=np.int8))
+    D = np.asarray(reweight.match_counts(Z))
+    thresh = 6.0
+    rowsum, below = distance.row_stats_asym_pallas(
+        Z, jnp.float32(thresh), q, tile_b=128, k=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
+    np.testing.assert_allclose(np.asarray(below), ((N - D) < thresh).sum(1))
+
+
+@pytest.mark.parametrize("q", [2, 31])
+def test_row_stats_asym_q_boundaries(q):
+    rng = np.random.default_rng(q)
+    M, N = 260, 19
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    D = np.asarray(reweight.match_counts(Z))
+    thresh = 5.0
+    rowsum, below = distance.row_stats_asym_pallas(
+        Z, jnp.float32(thresh), q, tile_b=16, k=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
+    np.testing.assert_allclose(np.asarray(below), ((N - D) < thresh).sum(1))
+
+
+def test_plan_asym_vmem_budget():
+    """The asym planner's VMEM accounting must hold for every plan it
+    can emit, across alignment widths and alphabets."""
+    for q in (2, 21, 31):
+        for N in (53, 128, 384, 512, 1024, 3000):
+            tile_b, k = distance._plan_asym(N, q)
+            if k < 2:
+                continue
+            Np = -(-max(N, 128) // 128) * 128
+            assert tile_b % 8 == 0
+            use = (k * tile_b * Np * q + (q + 4) * tile_b * Np
+                   + 4 * k * tile_b * tile_b + (k + 1) * tile_b * Np)
+            assert use <= int(13.5 * 2 ** 20)
+
+
+def test_dispatch_asym(monkeypatch):
+    monkeypatch.setenv("GDCA_DISTANCE_IMPL", "asym")
+    from gaussdca_tpu.ops import dispatch
+    ks = dispatch.kernels()
+    assert ks["row_stats_fn"] is distance.row_stats_asym_pallas
+    assert ks["match_counts_fn"] is distance.match_counts_pallas
+
+
+@pytest.mark.parametrize("theta", [0.2, "auto"])
+def test_streaming_weights_asym_kernel(theta):
+    rng = np.random.default_rng(13)
+    Z = jnp.asarray(rng.integers(1, 22, size=(310, 29), dtype=np.int8))
+    W0, Meff0, th0 = reweight.compute_weights(Z, theta)
+    W1, Meff1, th1 = reweight.compute_weights_streaming(
+        Z, theta, 21,
+        lambda z, t, q: distance.row_stats_asym_pallas(
+            z, t, q, tile_b=16, k=3, interpret=True))
+    np.testing.assert_allclose(np.asarray(W1), np.asarray(W0), rtol=1e-12)
+    np.testing.assert_allclose(float(Meff1), float(Meff0), rtol=1e-12)
+    np.testing.assert_allclose(float(th1), float(th0), rtol=1e-12)
