@@ -12,6 +12,7 @@ pytest.importorskip("hypothesis")
 import jax.numpy as jnp
 import numpy as np
 
+from gaussdca_tpu.ops import distance
 from gaussdca_tpu.stats import reweight
 
 # -- hypothesis-driven invariants (derandomized for CI stability) --------
@@ -120,3 +121,22 @@ def test_hyp_bucketing_equivalence(q, M, N, score, mb, nb, seed):
     assert set(got) == set(want)
     for k, s0 in want.items():
         assert got[k] == pytest.approx(s0, rel=1e-6, abs=1e-9)
+
+
+@given(st.integers(30, 140), st.integers(5, 25), st.integers(2, 8),
+       st.sampled_from([8, 16]), st.integers(2, 3),
+       st.integers(0, 2 ** 31 - 1))
+@_h
+def test_asym_kernel_covering_exact(M, N, q, tile_b, k, seed):
+    """The grouped-A circulant covering counts every unordered pair
+    exactly once for arbitrary (M, tile_b, k, q) parities — including
+    the shapes where the wrapper must fall back to the square kernel."""
+    rng = np.random.default_rng(seed)
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    D = np.asarray(reweight.match_counts(Z))
+    thresh = float(max(1, N // 3))
+    rowsum, below = distance.row_stats_asym_pallas(
+        Z, jnp.float32(thresh), q, tile_b=tile_b, k=k, interpret=True)
+    np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
+    np.testing.assert_allclose(np.asarray(below),
+                               ((N - D) < thresh).sum(1))
