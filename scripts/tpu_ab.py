@@ -1,0 +1,129 @@
+"""On-chip A/B timing for the round-3 kernel candidates.
+
+Each leg runs in its own interpreter invocation because the dispatch
+knobs (``GDCA_DISTANCE_IMPL``, ``GDCA_DI_TILED``) are read at trace
+time and a jitted function would otherwise pin the first value seen::
+
+    python scripts/tpu_ab.py dist-square          # square circulant kernel
+    python scripts/tpu_ab.py dist-asym [--k 3]    # grouped-A asym kernel
+    GDCA_DI_TILED=0 python scripts/tpu_ab.py di-n1000   # gathered DI
+    GDCA_DI_TILED=1 python scripts/tpu_ab.py di-n1000   # dense-tile DI
+
+Timing conventions follow bench.py: distinct inputs per rep (the axon
+runtime caches identical compute requests) and a host scalar fetch to
+bound completion. Output is one JSON line on stdout per leg.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _times(run, inputs):
+    run(inputs[0])  # compile
+    times = []
+    for x in inputs[1:]:
+        t0 = time.perf_counter()
+        run(x)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), times
+
+
+def leg_distance(impl, M, N, q, reps, k):
+    import jax
+    import jax.numpy as jnp
+    from gaussdca_tpu.ops import distance
+
+    rng = np.random.default_rng(0)
+    Zs = [jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+          for _ in range(reps + 1)]
+    thresh = jnp.asarray(float(int(0.2 * N)), jnp.float32)
+
+    if impl == "asym":
+        def run(Zi):
+            rs, _ = distance.row_stats_asym_pallas(Zi, thresh, q, k=k)
+            return float(np.asarray(rs[0]))
+    else:
+        def run(Zi):
+            rs, _ = distance.row_stats_sym_pallas(Zi, thresh, q)
+            return float(np.asarray(rs[0]))
+
+    t, times = _times(run, Zs)
+    pairs = M * (M - 1) / 2
+    log(f"[ab] {impl} M={M} N={N} q={q} k={k}: median={t:.4f}s "
+        f"(all: {[round(x, 4) for x in times]}) -> {pairs / t:.3e} pairs/s "
+        f"({2 * M * M * N * q / t / 1e12:.1f} TF-equiv)")
+    return {"leg": f"dist-{impl}", "M": M, "N": N, "q": q, "k": k,
+            "median_s": t, "pairs_per_s": pairs / t,
+            "tf_equiv": 2 * M * M * N * q / t / 1e12,
+            "times": [round(x, 5) for x in times],
+            "backend": jax.default_backend()}
+
+
+def leg_di_n1000(M, N, q, reps):
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from gaussdca_tpu.api import _scores_jit
+
+    tiled = os.environ.get("GDCA_DI_TILED", "1")
+    rng = np.random.default_rng(5)
+    Zs = [jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+          for _ in range(reps + 1)]
+
+    def run(Zi):
+        S, th, meff = _scores_jit(
+            Zi, jnp.asarray(0.2, jnp.float32), jnp.asarray(0.2, jnp.float32),
+            q=q, score="DI", theta_is_auto=False, dtype_name="float32",
+            use_pallas=True)
+        return float(np.asarray(S[0, 1]))
+
+    t, times = _times(run, Zs)
+    log(f"[ab] di e2e M={M} N={N} GDCA_DI_TILED={tiled}: median={t:.3f}s "
+        f"(all: {[round(x, 3) for x in times]})")
+    return {"leg": "di-e2e", "M": M, "N": N, "tiled": tiled,
+            "median_s": t, "times": [round(x, 4) for x in times],
+            "backend": jax.default_backend()}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("leg", choices=["dist-square", "dist-asym", "di-n1000",
+                                    "di-n400"])
+    ap.add_argument("--M", type=int, default=None)
+    ap.add_argument("--N", type=int, default=None)
+    ap.add_argument("--q", type=int, default=21)
+    ap.add_argument("--k", type=int, default=0, help="asym A-group size "
+                    "(0 = auto-plan)")
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args(argv)
+
+    import jax
+    if jax.default_backend() == "cpu":
+        log("[ab] refusing to run on CPU — this is an on-chip A/B script")
+        return 2
+
+    if args.leg in ("dist-square", "dist-asym"):
+        impl = args.leg.split("-")[1]
+        out = leg_distance(impl, args.M or 32768, args.N or 384, args.q,
+                           args.reps, args.k)
+    elif args.leg == "di-n1000":
+        out = leg_di_n1000(args.M or 1024, args.N or 1000, args.q,
+                           min(args.reps, 3))
+    else:  # di-n400
+        out = leg_di_n1000(args.M or 1024, args.N or 400, args.q,
+                           min(args.reps, 3))
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
