@@ -312,3 +312,26 @@ def test_cli_pod_mesh_two_process(tmp_path, golden_dir):
         assert rc == 0, f"rerun process {i} failed:\n{out}\n{err}"
     assert '"cached": true' in outs2[0][2], outs2[0][2]
     assert todict(rank0.read_text()) == got
+
+
+def test_dryrun_multichip_self_pins_cpu_platform(tmp_path):
+    """The driver's multichip dryrun must not depend on the remote-TPU
+    tunnel or on env vars: the preloaded TPU plugin initializes its
+    backend inside the first jax.devices() even with JAX_PLATFORMS=cpu
+    in the process env, and that init blocks forever when the tunnel is
+    down. __graft_entry__._force_cpu_platform pins the CPU platform
+    (and injects the virtual-device flag) before any backend exists —
+    so a bare interpreter with NO jax env vars must complete the
+    8-device dryrun."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME", "XLA_FLAGS")}
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "xla_cache")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as e; e.dryrun_multichip(8)"],
+        capture_output=True, text=True, env=env, cwd=repo_root,
+        timeout=420)
+    assert out.returncode == 0, (out.stdout, out.stderr)
+    assert "dryrun_multichip: OK on 8 devices" in out.stdout, out.stdout
