@@ -29,7 +29,12 @@ def log(msg):
 def bench_tpu(M=32768, N=384, q=21, reps=5):
     import jax
     import jax.numpy as jnp
-    from gaussdca_tpu.ops import distance
+    from gaussdca_tpu.ops import dispatch, distance
+
+    # measure the PRODUCTION dispatch (honors GDCA_DISTANCE_IMPL and any
+    # future default flip) so the floor leg tracks what the pipeline runs
+    row_stats = dispatch.kernels().get("row_stats_fn") \
+        or distance.row_stats_sym_pallas
 
     rng = np.random.default_rng(0)
     # distinct input per rep (guards against any transparent caching of
@@ -39,7 +44,7 @@ def bench_tpu(M=32768, N=384, q=21, reps=5):
     thresh = jnp.asarray(float(int(0.2 * N)), jnp.float32)
 
     def run(Zi):
-        rs, _ = distance.row_stats_sym_pallas(Zi, thresh, q)
+        rs, _ = row_stats(Zi, thresh, q)
         return float(np.asarray(rs[0]))
 
     run(Zs[0])  # compile
@@ -51,6 +56,7 @@ def bench_tpu(M=32768, N=384, q=21, reps=5):
     t = float(np.median(times))
     pairs = M * (M - 1) / 2
     log(f"[bench] backend={jax.default_backend()} M={M} N={N} q={q} "
+        f"impl={getattr(row_stats, '__name__', repr(row_stats))} "
         f"median={t:.4f}s (all: {[round(x, 4) for x in times]}) -> "
         f"{pairs / t:.3e} pairs/s "
         f"({2 * M * M * N * q / t / 1e12:.1f} TFLOP/s one-hot-equiv)")
