@@ -358,6 +358,37 @@ def main(argv=None):
 
     import jax
 
+    if jax.default_backend() not in ("tpu", "axon"):
+        # The TPU legs (Pallas kernels) cannot run here at all, so the
+        # backend gate comes BEFORE measure_all. A perf-gate lane that
+        # silently lands on CPU (e.g. plugin init failure falling back)
+        # must FAIL visibly, not crash or pass vacuously (ADVICE r2);
+        # GDCA_BENCH_ALLOW_CPU=1 is the explicit opt-out and degrades
+        # to the BLAS smoke leg so the bench plumbing still runs.
+        if args.check and os.environ.get("GDCA_BENCH_ALLOW_CPU") != "1":
+            log("[bench --check] FAIL: floors are TPU numbers but this "
+                f"is the {jax.default_backend()} backend — the gate "
+                "cannot be enforced here (set GDCA_BENCH_ALLOW_CPU=1 "
+                "to skip deliberately)")
+            return 3
+        baseline = bench_cpu_baseline()
+        print(json.dumps({
+            "metric": "all-pairs reweighting throughput (CPU BLAS smoke "
+                      "leg — TPU backend unavailable)",
+            "value": round(baseline, 1),
+            "unit": "seq-pairs/s",
+            "vs_baseline": 1.0,
+        }))
+        if args.check:
+            log("[bench --check] skipped (GDCA_BENCH_ALLOW_CPU=1): "
+                "floors are TPU numbers and this is the "
+                f"{jax.default_backend()} backend")
+        if args.update_floor:
+            log("[bench] NOT writing floors: backend is "
+                f"'{jax.default_backend()}' — floors are TPU numbers "
+                "(a CPU floor update would neuter the gate)")
+        return 0
+
     measured = measure_all()
     baseline = bench_cpu_baseline()
     print(json.dumps({
@@ -368,11 +399,7 @@ def main(argv=None):
         "vs_baseline": round(measured["pairs_per_s"] / baseline, 2),
     }))
 
-    if args.update_floor and jax.default_backend() not in ("tpu", "axon"):
-        log(f"[bench] NOT writing floors: backend is "
-            f"'{jax.default_backend()}' — floors are TPU numbers "
-            "(a CPU floor update would neuter the gate)")
-    elif args.update_floor:
+    if args.update_floor:
         samples = [measured]
         for k in range(max(args.floor_reps, 1) - 1):
             log(f"[bench] floor-pinning pass {k + 2}/{args.floor_reps}")
@@ -390,21 +417,6 @@ def main(argv=None):
             }, fh, indent=1)
         log(f"[bench] floors written to {args.floor_file}")
     if args.check:
-        if jax.default_backend() not in ("tpu", "axon"):
-            # a perf-gate lane that silently lands on CPU (e.g. plugin
-            # init failure falling back) must FAIL visibly, not pass
-            # vacuously (ADVICE r2). GDCA_BENCH_ALLOW_CPU=1 is the
-            # explicit opt-out for local smoke runs.
-            if os.environ.get("GDCA_BENCH_ALLOW_CPU", "") == "1":
-                log("[bench --check] skipped (GDCA_BENCH_ALLOW_CPU=1): "
-                    "floors are TPU numbers and this is the "
-                    f"{jax.default_backend()} backend")
-                return 0
-            log("[bench --check] FAIL: floors are TPU numbers but this "
-                f"is the {jax.default_backend()} backend — the gate "
-                "cannot be enforced here (set GDCA_BENCH_ALLOW_CPU=1 "
-                "to skip deliberately)")
-            return 3
         return check_floors(measured, args.floor_file)
     return 0
 

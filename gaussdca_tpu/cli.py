@@ -286,6 +286,11 @@ def _retryable(e: BaseException) -> bool:
     if isinstance(e, (ValueError, OSError)) and \
             not isinstance(e, RuntimeError):
         return False
+    if isinstance(e, (NotImplementedError, RecursionError)):
+        # RuntimeError subclasses by inheritance, but deterministic —
+        # an unsupported op or a runaway recursion fails identically
+        # on retry
+        return False
     if isinstance(e, RuntimeError):
         return True
     name = type(e).__name__
@@ -490,6 +495,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                                           mesh=mesh_obj, emit=emit,
                                           cache_read=cache_read)
                 except Exception as e:
+                    if pod_mesh and pcnt > 1:
+                        raise  # pod: handled below — never retried
                     if not _retryable(e):
                         raise  # deterministic errors: fail fast
                     # runtime/compile failures (XlaRuntimeError,
@@ -510,6 +517,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                         for line in fh:
                             merge_fh.write(f"{stems[k]} {line}")
             except Exception as e:
+                if pod_mesh and pcnt > 1:
+                    # A failure inside a pod-spanning collective program
+                    # cannot be recovered per-process: peers may already
+                    # be blocked in the program's collectives, and a
+                    # local retry (or skipping to the next family) runs
+                    # a DIFFERENT program on this process — mismatched
+                    # collectives wedge the pod with no timeout. The
+                    # cache-skip broadcast above agrees on what every
+                    # process runs BEFORE compute; mid-program errors
+                    # abort the whole batch visibly instead.
+                    print(json.dumps({"family": path, "pod_abort": True,
+                                      "error_type": type(e).__name__,
+                                      "error": str(e)[:500]}),
+                          file=sys.stderr, flush=True)
+                    raise
                 # a family that fails twice (or has bad input) must not
                 # abort the rest of the batch — record and continue
                 n_err += 1

@@ -341,8 +341,21 @@ def di_pairs_bm_gathered(J4: jax.Array, Lsite: jax.Array,
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
+def _plan_row_block(N: int) -> int:
+    """Smallest lane-aligned row block with a bounded tile count.
+
+    Smaller blocks waste fewer diagonal-tile lanes (overhead ~RB/N),
+    but the tile loop is unrolled in the graph, so the block count is
+    capped at 8 (<= 36 tiles) to bound compile time; RB=128 keeps the
+    per-tile lane batch at the batch-minor core's 16384 minimum."""
+    for rb in (128, 256, 512, 1024, 2048):
+        if -(-N // rb) <= 8:
+            return rb
+    return 4096
+
+
 def di_score_bm_tiled(J4: jax.Array, Lsite: jax.Array, N: int, *,
-                      row_block: int = 256) -> jax.Array:
+                      row_block: int = 0) -> jax.Array:
     """[N, N] DI via DENSE (row-block x col-block) tiles — no gathers.
 
     ``di_pairs_bm_gathered`` feeds the batch-minor core through
@@ -355,13 +368,16 @@ def di_score_bm_tiled(J4: jax.Array, Lsite: jax.Array, N: int, *,
     lane batch — zero gather, dense writes back into S. Diagonal tiles
     compute their i >= j lanes too (discarded by the upper-triangular
     mask): a RB/N-order flop overhead (~13% at RB=128, N=1000) traded
-    for eliminating every gather.
+    for eliminating every gather. ``row_block=0`` auto-plans
+    (_plan_row_block: smallest aligned block with <= 36 tiles).
 
     Per-lane math is identical to the gathered path (lanes are
     independent), so scores are bit-identical where both are defined.
     """
     s = J4.shape[1]
     dtype = J4.dtype
+    if row_block == 0:
+        row_block = _plan_row_block(N)
     nb = -(-N // row_block)
     Npd = nb * row_block
     if Npd != N:
@@ -386,7 +402,13 @@ def di_score_bm_tiled(J4: jax.Array, Lsite: jax.Array, N: int, *,
             ).reshape(s, s, RB * RB)
             di = _di_pairs_bm_minor(Jb, Li, Lj).reshape(RB, RB)
             if bi == bj:
-                di = di * tri                    # keep i < j lanes only
+                # keep i < j lanes only — by where, not multiplication:
+                # a self-pair (i == j) lane can exceed the fixed-NS
+                # convergence envelope and come back non-finite, and
+                # NaN * 0 = NaN would leak it into S (and via APC into
+                # every score). The gathered path never computes these
+                # lanes at all.
+                di = jnp.where(tri != 0, di, jnp.zeros((), dtype))
             S = jax.lax.dynamic_update_slice(S, di, (r0, c0))
     S = S + S.T
     return S[:N, :N]

@@ -302,3 +302,16 @@ def test_di_tiled_matches_gathered():
 
     S_ref = np.asarray(di_score(mJ, C, q, use_pallas=False))
     np.testing.assert_allclose(S_tiled, S_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_di_tiled_row_block_plan():
+    """Auto-plan: smallest aligned block with <= 8 row blocks (bounded
+    unroll), so diagonal-tile lane waste (~RB/N) stays small at the
+    shapes that matter."""
+    from gaussdca_tpu.score.di import _plan_row_block
+
+    assert _plan_row_block(200) == 128
+    assert _plan_row_block(1000) == 128
+    assert _plan_row_block(1024) == 128
+    assert _plan_row_block(1200) == 256
+    assert _plan_row_block(4000) == 512
