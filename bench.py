@@ -356,6 +356,28 @@ def main(argv=None):
                         os.path.abspath(__file__)), "bench_floor.json"))
     args = ap.parse_args(argv)
 
+    # The axon plugin's first backend init blocks FOREVER when the TPU
+    # tunnel is down (no timeout anywhere in the init path) — a plain
+    # `import jax; jax.default_backend()` here would hang the driver's
+    # end-of-round bench run with no output at all. Probe the backend
+    # in a SUBPROCESS with a hard timeout; if it doesn't answer, pin
+    # the CPU platform before any in-process backend init so this run
+    # degrades to the visible smoke-leg/FAIL path below instead.
+    if os.environ.get("GDCA_BENCH_NO_PROBE") != "1":
+        import subprocess
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        except (subprocess.TimeoutExpired,
+                subprocess.CalledProcessError, OSError) as e:
+            log(f"[bench] backend probe failed ({type(e).__name__}) — "
+                "TPU tunnel down? Pinning the CPU platform so this run "
+                "reports instead of hanging")
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+
     import jax
 
     if jax.default_backend() not in ("tpu", "axon"):

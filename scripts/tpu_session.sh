@@ -1,0 +1,44 @@
+#!/bin/bash
+# One-shot on-chip measurement battery for the round-3 kernel
+# candidates. Run as soon as the TPU tunnel answers (it may flap —
+# everything lands in $OUT so a partial session still yields data).
+#
+#   bash scripts/tpu_session.sh [outdir]
+#
+# Legs (each its own interpreter: dispatch knobs are read at trace
+# time):
+#   1. on-chip golden parity (tpu_check.py) — correctness first
+#   2. distance A/B: square circulant vs grouped-A asym (k=auto, 2, 3)
+#   3. DI e2e A/B at N=1000 and N=400: gathered vs dense-tile
+#   4. bench.py --check against the pinned floors
+# After: read $OUT/*.json, flip dispatch defaults or log rejections in
+# PERFORMANCE.md, and re-pin floors (bench.py --update-floor) if a
+# default changed.
+set -u
+OUT="${1:-/tmp/tpu_session_$(date +%m%d_%H%M)}"
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+echo "[session] output -> $OUT"
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name="$1" t="$2"; shift 2
+  echo "[session] === $name ==="
+  timeout "$t" "$@" >"$OUT/$name.json" 2>"$OUT/$name.log"
+  local rc=$?
+  echo "[session] $name: rc=$rc"
+  tail -2 "$OUT/$name.log" 2>/dev/null | sed 's/^/  | /'
+  cat "$OUT/$name.json" 2>/dev/null | tail -1 | sed 's/^/  > /'
+}
+
+run golden      900 python scripts/tpu_check.py
+run dist_square 900 python scripts/tpu_ab.py dist-square
+run dist_asym_auto 900 python scripts/tpu_ab.py dist-asym
+run dist_asym_k2   900 python scripts/tpu_ab.py dist-asym --k 2
+run dist_asym_k4   900 python scripts/tpu_ab.py dist-asym --k 4
+run di1000_gathered 1200 env GDCA_DI_TILED=0 python scripts/tpu_ab.py di-n1000
+run di1000_tiled    1200 env GDCA_DI_TILED=1 python scripts/tpu_ab.py di-n1000
+run di400_gathered  900 env GDCA_DI_TILED=0 python scripts/tpu_ab.py di-n400
+run di400_tiled     900 env GDCA_DI_TILED=1 python scripts/tpu_ab.py di-n400
+run bench_check    2400 python bench.py --check
+
+echo "[session] done — results in $OUT"
