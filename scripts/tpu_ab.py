@@ -36,7 +36,7 @@ def _times(run, inputs):
     return float(np.median(times)), times
 
 
-def leg_distance(impl, M, N, q, reps, k):
+def leg_distance(impl, M, N, q, reps, k, tile):
     import jax
     import jax.numpy as jnp
     from gaussdca_tpu.ops import distance
@@ -48,20 +48,21 @@ def leg_distance(impl, M, N, q, reps, k):
 
     if impl == "asym":
         def run(Zi):
-            rs, _ = distance.row_stats_asym_pallas(Zi, thresh, q, k=k)
+            rs, _ = distance.row_stats_asym_pallas(Zi, thresh, q, k=k,
+                                                   tile_b=tile)
             return float(np.asarray(rs[0]))
     else:
         def run(Zi):
-            rs, _ = distance.row_stats_sym_pallas(Zi, thresh, q)
+            rs, _ = distance.row_stats_sym_pallas(Zi, thresh, q, tile_m=tile)
             return float(np.asarray(rs[0]))
 
     t, times = _times(run, Zs)
     pairs = M * (M - 1) / 2
-    log(f"[ab] {impl} M={M} N={N} q={q} k={k}: median={t:.4f}s "
+    log(f"[ab] {impl} M={M} N={N} q={q} k={k} tile={tile}: median={t:.4f}s "
         f"(all: {[round(x, 4) for x in times]}) -> {pairs / t:.3e} pairs/s "
         f"({2 * M * M * N * q / t / 1e12:.1f} TF-equiv)")
     return {"leg": f"dist-{impl}", "M": M, "N": N, "q": q, "k": k,
-            "median_s": t, "pairs_per_s": pairs / t,
+            "tile": tile, "median_s": t, "pairs_per_s": pairs / t,
             "tf_equiv": 2 * M * M * N * q / t / 1e12,
             "times": [round(x, 5) for x in times],
             "backend": jax.default_backend()}
@@ -103,6 +104,9 @@ def main(argv=None):
     ap.add_argument("--q", type=int, default=21)
     ap.add_argument("--k", type=int, default=0, help="asym A-group size "
                     "(0 = auto-plan)")
+    ap.add_argument("--tile", type=int, default=0, help="override the "
+                    "planner's tile (sym tile_m / asym tile_b; 0 = auto) — "
+                    "for the tile-384 candidate, docs/ROADMAP.md item 6")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args(argv)
 
@@ -114,7 +118,7 @@ def main(argv=None):
     if args.leg in ("dist-square", "dist-asym"):
         impl = args.leg.split("-")[1]
         out = leg_distance(impl, args.M or 32768, args.N or 384, args.q,
-                           args.reps, args.k)
+                           args.reps, args.k, args.tile)
     elif args.leg == "di-n1000":
         out = leg_di_n1000(args.M or 1024, args.N or 1000, args.q,
                            min(args.reps, 3))

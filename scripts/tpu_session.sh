@@ -32,6 +32,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 
 run golden      900 python scripts/tpu_check.py
 run dist_square 900 python scripts/tpu_ab.py dist-square
+run dist_square_t384 900 python scripts/tpu_ab.py dist-square --tile 384
 run dist_asym_auto 900 python scripts/tpu_ab.py dist-asym
 run dist_asym_k2   900 python scripts/tpu_ab.py dist-asym --k 2
 run dist_asym_k4   900 python scripts/tpu_ab.py dist-asym --k 4
