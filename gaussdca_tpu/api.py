@@ -273,6 +273,33 @@ def _run_sharded_padded(mesh, tokens, cfg: GDCAConfig, *, q: int,
     return fn(Zs, *scalars)
 
 
+def _checked_ranking(S, min_separation: int,
+                     top_k: Optional[int]) -> Ranking:
+    """Rank S, refusing to emit a solver-poisoned (non-finite) ranking.
+
+    A singular covariance (pseudocount too small for the alignment
+    depth) NaNs the inverse, and APC then propagates the NaN to every
+    score — the reference fails there with a PosDefException from
+    ``inv(cholesky(C))`` (src/GaussDCA.jl:34); silently returning an
+    all-NaN ranking would be strictly worse. Checking the two endpoint
+    scores is sufficient and O(1): full poisoning NaNs everything,
+    and a hypothetical partial NaN sorts last under np.argsort
+    (compute_ranking) and first under lax.top_k's descending total
+    order (top_k_device).
+    """
+    if top_k is not None:
+        R = top_k_device(S, min_separation, top_k)
+    else:
+        R = compute_ranking(np.asarray(S), min_separation)
+    if R and not (np.isfinite(R[0][2]) and np.isfinite(R[-1][2])):
+        raise ArithmeticError(
+            "non-finite contact scores: the covariance matrix is not "
+            "positive definite (pseudocount too small for this "
+            "alignment depth?) — the reference fails here with "
+            "PosDefException from inv(cholesky(C))")
+    return R
+
+
 def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
                   top_k: Optional[int] = None,
                   mesh: Optional[Any] = None) -> GDCAResult:
@@ -323,10 +350,7 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
             theta_value=theta_value)
         if tokens.shape[1] != N_true:
             S = S[:N_true, :N_true]
-        if top_k is not None:
-            R = top_k_device(S, cfg.min_separation, top_k)
-        else:
-            R = compute_ranking(np.asarray(S), cfg.min_separation)
+        R = _checked_ranking(S, cfg.min_separation, top_k)
         return GDCAResult(
             ranking=R, M=msa.M, N=msa.N, q=q,
             theta=float(th), meff=float(meff),
@@ -356,10 +380,7 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
         S, th, meff = _scores_jit(Z, pc_a, th_a, score=cfg.score, **kw)
     if n_true is not None:
         S = S[:N_true, :N_true]  # pad scores are exactly zero; drop them
-    if top_k is not None:
-        R = top_k_device(S, cfg.min_separation, top_k)
-    else:
-        R = compute_ranking(np.asarray(S), cfg.min_separation)
+    R = _checked_ranking(S, cfg.min_separation, top_k)
     return GDCAResult(
         ranking=R, M=msa.M, N=msa.N, q=q,
         theta=float(th), meff=float(meff),

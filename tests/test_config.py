@@ -117,3 +117,26 @@ def test_degenerate_alignments():
     # single-state alignment: no reduced alphabet
     with pytest.raises(ValueError, match="at least 2"):
         run(np.ones((4, 6)), 1, pseudocount=0.5)
+
+
+def test_singular_covariance_raises_not_nan():
+    """pc=0 with M << N*s makes C singular: the reference dies with a
+    PosDefException from inv(cholesky(C)) (src/GaussDCA.jl:34); this
+    pipeline must raise a clear error rather than emit an all-NaN
+    ranking (NaN propagates to every score through APC)."""
+    import numpy as np
+    import pytest
+    from gaussdca_tpu import api
+    from gaussdca_tpu.core.config import GDCAConfig
+    from gaussdca_tpu.io.fasta import MSA
+
+    rng = np.random.default_rng(3)
+    Z = rng.integers(1, 9, size=(6, 12)).astype(np.uint8)  # M=6, Ns=88
+    msa = MSA(tokens=Z, headers=[f"s{i}" for i in range(6)], q=8)
+    cfg = GDCAConfig(pseudocount=0.0, theta=0.2, min_separation=1)
+    with pytest.raises(ArithmeticError, match="positive definite"):
+        api.gdca_from_msa(msa, cfg)
+    # the device-side top-k path (NaNs sort FIRST under lax.top_k's
+    # descending total order) must catch it too
+    with pytest.raises(ArithmeticError, match="positive definite"):
+        api.gdca_from_msa(msa, cfg, top_k=5)
