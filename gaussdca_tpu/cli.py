@@ -155,6 +155,7 @@ def _cache_key(path: str, cfg: GDCAConfig, top_k: Optional[int],
            os.environ.get("GDCA_DISTANCE_IMPL", ""),
            os.environ.get("GDCA_DI_FUSED", ""),
            os.environ.get("GDCA_DI_TILED", ""),
+           os.environ.get("GDCA_DI_RB", ""),
            mesh_desc)
     h.update(repr(key).encode())
     return h.hexdigest()

@@ -347,7 +347,25 @@ def _plan_row_block(N: int) -> int:
     Smaller blocks waste fewer diagonal-tile lanes (overhead ~RB/N),
     but the tile loop is unrolled in the graph, so the block count is
     capped at 8 (<= 36 tiles) to bound compile time; RB=128 keeps the
-    per-tile lane batch at the batch-minor core's 16384 minimum."""
+    per-tile lane batch at the batch-minor core's 16384 minimum.
+
+    ``GDCA_DI_RB`` (trace-time, like the other kernel knobs): an
+    integer overrides RB outright; ``exact`` picks the EXACT-FIT block
+    RB = ceil(N/nb) with nb = clamp(N // 128, 1, 8) — RB need not be a
+    power of two, so padding waste nearly vanishes (N=400: Npd 512 ->
+    402, total lanes 163840 -> 107736, 1.52x fewer flops; at N >= ~900
+    the two plans converge). Per-lane math is lane-independent, so any
+    RB gives bit-identical scores; exact-fit is opt-in pending an
+    on-chip A/B of the non-128-aligned reshape/update relayout cost
+    (scripts/tpu_session.sh di*_tiled_exact legs)."""
+    import os
+
+    mode = os.environ.get("GDCA_DI_RB", "").strip().lower()
+    if mode.isdigit() and int(mode) > 0:
+        return int(mode)
+    if mode == "exact":
+        nb = max(1, min(8, N // 128))
+        return -(-N // nb)
     for rb in (128, 256, 512, 1024, 2048):
         if -(-N // rb) <= 8:
             return rb

@@ -40,6 +40,8 @@ run di1000_gathered 1200 env GDCA_DI_TILED=0 python scripts/tpu_ab.py di-n1000
 run di1000_tiled    1200 env GDCA_DI_TILED=1 python scripts/tpu_ab.py di-n1000
 run di400_gathered  900 env GDCA_DI_TILED=0 python scripts/tpu_ab.py di-n400
 run di400_tiled     900 env GDCA_DI_TILED=1 python scripts/tpu_ab.py di-n400
+run di400_tiled_exact  900 env GDCA_DI_TILED=1 GDCA_DI_RB=exact python scripts/tpu_ab.py di-n400
+run di1000_tiled_exact 1200 env GDCA_DI_TILED=1 GDCA_DI_RB=exact python scripts/tpu_ab.py di-n1000
 run bench_check    2400 python bench.py --check
 
 echo "[session] done — results in $OUT"

@@ -300,18 +300,35 @@ def test_di_tiled_matches_gathered():
     np.testing.assert_array_equal(S_tiled, S_gath)
     assert np.all(np.diag(S_tiled) == 0.0)
 
+    # lane math is lane-independent: any row block — including a
+    # non-power-of-two exact-fit one with padding (RB=38: Npd=76) —
+    # must stay bitwise-equal
+    S_odd = np.asarray(di_score_bm_tiled(J4, Lsite, N, row_block=38))
+    np.testing.assert_array_equal(S_odd, S_gath)
+
     S_ref = np.asarray(di_score(mJ, C, q, use_pallas=False))
     np.testing.assert_allclose(S_tiled, S_ref, rtol=2e-4, atol=2e-5)
 
 
-def test_di_tiled_row_block_plan():
+def test_di_tiled_row_block_plan(monkeypatch):
     """Auto-plan: smallest aligned block with <= 8 row blocks (bounded
     unroll), so diagonal-tile lane waste (~RB/N) stays small at the
     shapes that matter."""
     from gaussdca_tpu.score.di import _plan_row_block
 
+    monkeypatch.delenv("GDCA_DI_RB", raising=False)
     assert _plan_row_block(200) == 128
     assert _plan_row_block(1000) == 128
     assert _plan_row_block(1024) == 128
     assert _plan_row_block(1200) == 256
     assert _plan_row_block(4000) == 512
+
+    monkeypatch.setenv("GDCA_DI_RB", "exact")
+    assert _plan_row_block(400) == 134    # nb=3, Npd=402 (was 512)
+    assert _plan_row_block(1000) == 143   # nb=7, Npd=1001
+    assert _plan_row_block(1024) == 128   # nb=8: exact fit
+    assert _plan_row_block(200) == 200    # nb=1: single diagonal tile
+    assert _plan_row_block(4000) == 500   # nb capped at 8
+
+    monkeypatch.setenv("GDCA_DI_RB", "192")
+    assert _plan_row_block(1000) == 192   # integer override wins
