@@ -67,6 +67,21 @@ def test_parity_synthetic(tmp_path):
             _parity(str(p2), mgf)
 
 
+def test_parity_multimember_gzip(tmp_path):
+    """Concatenated gzip members are one logical stream (RFC 1952 §2.2;
+    pigz/bgzip emit these). Pins the native libdeflate member loop —
+    whose per-member ISIZE guess undershoots the total — against the
+    NumPy parser (Python gzip also concatenates members)."""
+    part1 = ">m1\nACDEFGHIKL\n>m2\nMNPQRSTVWY\n"
+    part2 = ">m3\nAAAAAAAAAA\n"
+    p = tmp_path / "multi.fasta.gz"
+    blob = gzip.compress(part1.encode()) + gzip.compress(part2.encode())
+    p.write_bytes(blob)
+    msa = fasta.read_fasta_alignment(str(p), 0.9, use_native=True)
+    assert msa.M == 3 and msa.headers == ["m1", "m2", "m3"]
+    _parity(str(p), 0.9)
+
+
 def test_parity_errors(tmp_path):
     cases = {
         "noheader.fasta": "ACDEF\n>s1\nACDEF\n",
