@@ -20,12 +20,23 @@ mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 echo "[session] output -> $OUT"
 
+INCOMPLETE=0
 run() {  # run <name> <timeout_s> <cmd...>
   local name="$1" t="$2"; shift 2
+  # complete = previous attempt exited 0 with output; anything else
+  # (timeout kill, CPU-pinned refusal, mid-leg tunnel death) re-runs
+  if [ -s "$OUT/$name.json" ] && [ "$(cat "$OUT/$name.rc" 2>/dev/null)" = "0" ]; then
+    echo "[session] === $name === (done earlier, skipping)"
+    return 0
+  fi
   echo "[session] === $name ==="
   timeout "$t" "$@" >"$OUT/$name.json" 2>"$OUT/$name.log"
   local rc=$?
+  echo "$rc" > "$OUT/$name.rc"
   echo "[session] $name: rc=$rc"
+  if [ "$rc" != 0 ] || [ ! -s "$OUT/$name.json" ]; then
+    INCOMPLETE=$((INCOMPLETE + 1))
+  fi
   tail -2 "$OUT/$name.log" 2>/dev/null | sed 's/^/  | /'
   cat "$OUT/$name.json" 2>/dev/null | tail -1 | sed 's/^/  > /'
 }
@@ -44,4 +55,5 @@ run di400_tiled_exact  900 env GDCA_DI_TILED=1 GDCA_DI_RB=exact python scripts/t
 run di1000_tiled_exact 1200 env GDCA_DI_TILED=1 GDCA_DI_RB=exact python scripts/tpu_ab.py di-n1000
 run bench_check    2400 python bench.py --check
 
-echo "[session] done — results in $OUT"
+echo "[session] done — results in $OUT ($INCOMPLETE leg(s) incomplete)"
+exit $((INCOMPLETE > 0 ? 1 : 0))
