@@ -190,6 +190,45 @@ def bench_family_n1000(M=1024, N=1000, q=21, reps=3):
     return t
 
 
+def bench_ingest(M=100_000, N=400, reps=4):
+    """Host ingest throughput (Mtok/s) of the native parser on a deep
+    gzipped MSA — ingest is host-side work that gates every family, and
+    at deep-MSA scale it rivals the whole device pipeline (0.32 s parse
+    vs 0.34 s compute; PERFORMANCE.md round 3). None when the native
+    library is unavailable (the leg is then reported-not-enforced)."""
+    from gaussdca_tpu.io import native
+
+    if not native.available():
+        log("[bench] ingest leg skipped: native parser unavailable")
+        return None
+    path = f"/tmp/gdca_bench_ingest_{M}x{N}.fasta.gz"
+    if not os.path.exists(path):
+        import gzip
+
+        log(f"[bench] synthesizing {path} (one-time)")
+        rng = np.random.default_rng(0)
+        aa = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY-", dtype=np.uint8)
+        toks = aa[rng.integers(0, 21, size=(M, N))]
+        tmp = path + ".tmp"
+        with gzip.open(tmp, "wb", compresslevel=6) as fh:
+            for i in range(M):
+                fh.write(b">seq%d/1-%d\n" % (i, N))
+                row = toks[i].tobytes()
+                for j in range(0, N, 80):
+                    fh.write(row[j:j + 80] + b"\n")
+        os.replace(tmp, path)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        tokens, _, _, _ = native.parse_fasta(path, 0.9)
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    mtok_s = tokens.size / t / 1e6
+    log(f"[bench] host ingest ({M}x{N} gzipped FASTA): median {t:.3f}s "
+        f"-> {mtok_s:.0f} Mtok/s (all: {[round(x, 3) for x in times]})")
+    return mtok_s
+
+
 def bench_cpu_baseline(M=4096, N=384, q=21, reps=3):
     """NumPy/BLAS one-hot sgemm + threshold counts: the CPU stand-in for
     the reference's threaded Hamming loop, on this same host. Best of
@@ -311,7 +350,8 @@ def pin_floors(samples: list) -> dict:
     return out
 
 
-_HIGHER = ("pairs_per_s", "solve_flops_per_s", "solve20k_flops_per_s")
+_HIGHER = ("pairs_per_s", "solve_flops_per_s", "solve20k_flops_per_s",
+           "ingest_mtok_s")
 _LOWER = ("family_frob_s", "family_di_s", "family_di_n1000_s",
           "deep_msa_s")
 
@@ -324,7 +364,8 @@ def measure_all():
     fam = bench_family()
     wide_di = bench_family_n1000()
     deep = bench_deep()
-    return {
+    ingest = bench_ingest()
+    out = {
         "pairs_per_s": value,
         "solve_flops_per_s": solve,
         "solve20k_flops_per_s": solve20k,
@@ -333,6 +374,9 @@ def measure_all():
         "family_di_n1000_s": wide_di,
         "deep_msa_s": deep,
     }
+    if ingest is not None:
+        out["ingest_mtok_s"] = ingest
+    return out
 
 
 def main(argv=None):
@@ -434,8 +478,10 @@ def main(argv=None):
                            "relative spread; bench.py --check fails "
                            "beyond max(2*spread, 10%)",
                 "backend": jax.default_backend(),
-                "higher_is_better": {k: pinned[k] for k in _HIGHER},
-                "lower_is_better": {k: pinned[k] for k in _LOWER},
+                "higher_is_better": {k: pinned[k] for k in _HIGHER
+                                     if k in pinned},
+                "lower_is_better": {k: pinned[k] for k in _LOWER
+                                    if k in pinned},
             }, fh, indent=1)
         log(f"[bench] floors written to {args.floor_file}")
     if args.check:
