@@ -581,25 +581,48 @@ def _row_stats_asym_kernel(thresh_ref, za_ref, zb_ref,
         cnt_col_ref[:] = jnp.where(slot, cnt_c, cnt_col_ref[:])
 
 
-def _plan_asym(N: int, q: int):
+_ASYM_VMEM_BUDGET = int(13.5 * 2 ** 20)
+
+
+def _asym_vmem(tile_b: int, k: int, Np: int, q: int) -> int:
+    """Scoped-VMEM bytes live per asym-kernel cell.
+
+    A-plane scratch k*t*Np*q i8, B one-hot temporaries ~(q + 4)*t*Np
+    (only B expands per cell), i32 accumulator k*t*t, token tiles
+    (k + 1)*t*Np i8."""
+    return (k * tile_b * Np * q                    # scratch planes
+            + (q + 4) * tile_b * Np                # B-side temporaries
+            + 4 * k * tile_b * tile_b              # accumulator
+            + (k + 1) * tile_b * Np)               # token tiles
+
+
+def _plan_asym(N: int, q: int, tile_b: int = 0, k: int = 0):
     """(tile_b, k) for the asym kernel under the 16 MB scoped-VMEM limit.
 
-    Live per cell: A-plane scratch k*t*Np*q i8, B one-hot temporaries
-    ~(q + 4)*t*Np (only B expands per cell), i32 accumulator k*t*t,
-    token tiles (k + 1)*t*Np i8. Budgeted to ~13.5 MB; candidates in
-    decreasing k*t (the expansion divisor)."""
+    An explicit ``tile_b`` or ``k`` (non-zero) is HONORED: only the
+    missing parameter is planned (so an A/B sweep over k really varies
+    k — replanning both would silently measure the auto plan three
+    times). Budgeted to ~13.5 MB; auto candidates in decreasing k*t
+    (the expansion divisor)."""
     Np = _round_up(max(N, 128), 128)
-    # candidates in decreasing k*t (the expansion divisor); at Np <= 256
-    # (deep-MSA widths) the larger groups fit, at Np = 512 (N in
-    # 385..512, the golden-large class) the plan lands on (256, 3)
-    for tile_b, k in ((384, 3), (512, 2), (256, 3), (256, 2),
-                      (128, 3), (128, 2)):
-        use = (k * tile_b * Np * q                 # scratch planes
-               + (q + 4) * tile_b * Np             # B-side temporaries
-               + 4 * k * tile_b * tile_b           # accumulator
-               + (k + 1) * tile_b * Np)            # token tiles
-        if use <= int(13.5 * 2 ** 20):
-            return tile_b, k
+    if tile_b and k:
+        return tile_b, k
+    if k:      # explicit k: largest tile that fits the budget
+        for t in (512, 384, 256, 128):
+            if _asym_vmem(t, k, Np, q) <= _ASYM_VMEM_BUDGET:
+                return t, k
+        return 0, k
+    if tile_b:  # explicit tile: largest group size that fits
+        for kk in (4, 3, 2):
+            if _asym_vmem(tile_b, kk, Np, q) <= _ASYM_VMEM_BUDGET:
+                return tile_b, kk
+        return tile_b, 1
+    # auto: at Np <= 256 (deep-MSA widths) the larger groups fit, at
+    # Np = 512 (N in 385..512, the golden-large class) -> (256, 3)
+    for tb, kk in ((384, 3), (512, 2), (256, 3), (256, 2),
+                   (128, 3), (128, 2)):
+        if _asym_vmem(tb, kk, Np, q) <= _ASYM_VMEM_BUDGET:
+            return tb, kk
     return 0, 1
 
 
@@ -619,7 +642,7 @@ def row_stats_asym_pallas(Z: jax.Array, thresh: jax.Array, q: int = 21, *,
     """
     M, N = Z.shape
     if tile_b == 0 or k == 0:
-        tile_b, k = _plan_asym(N, q)
+        tile_b, k = _plan_asym(N, q, tile_b=tile_b, k=k)
     if k < 2 or tile_b == 0:
         return row_stats_sym_pallas(Z, thresh, q, interpret=interpret)
     Mp = _round_up(max(M, k * tile_b), k * tile_b)

@@ -47,6 +47,10 @@ def leg_distance(impl, M, N, q, reps, k, tile):
     thresh = jnp.asarray(float(int(0.2 * N)), jnp.float32)
 
     if impl == "asym":
+        # resolve the partial plan up front so the JSON records the
+        # (tile_b, k) that actually runs, not the CLI request
+        tile, k = distance._plan_asym(N, q, tile_b=tile, k=k)
+
         def run(Zi):
             rs, _ = distance.row_stats_asym_pallas(Zi, thresh, q, k=k,
                                                    tile_b=tile)

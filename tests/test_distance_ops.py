@@ -265,6 +265,40 @@ def test_row_stats_asym_q_boundaries(q):
     np.testing.assert_allclose(np.asarray(below), ((N - D) < thresh).sum(1))
 
 
+def test_plan_asym_honors_explicit_params():
+    """An explicit k (or tile_b) must survive partial planning — the
+    on-chip k-sweep (scripts/tpu_session.sh dist_asym_k*) varies only
+    k, and replanning both would measure the auto plan three times."""
+    for k in (2, 3, 4):
+        tb, kk = distance._plan_asym(384, 21, k=k)
+        assert kk == k and tb > 0
+    for tile in (128, 256):
+        tb, kk = distance._plan_asym(384, 21, tile_b=tile)
+        assert tb == tile and kk >= 2
+    # both explicit: passthrough
+    assert distance._plan_asym(384, 21, tile_b=192, k=5) == (192, 5)
+    # every partial plan must still respect the VMEM budget
+    for k in (2, 3, 4):
+        tb, kk = distance._plan_asym(384, 21, k=k)
+        Np = 384
+        assert distance._asym_vmem(tb, kk, Np, 21) <= \
+            distance._ASYM_VMEM_BUDGET
+
+
+def test_row_stats_asym_k4_exact():
+    # k=4 is in the battery's sweep (dist_asym_k4) but not the auto
+    # plan; pin its covering exactness in interpret mode.
+    rng = np.random.default_rng(44)
+    M, N, q = 600, 29, 21
+    Z = jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
+    D = np.asarray(reweight.match_counts(Z))
+    thresh = 8.0
+    rowsum, below = distance.row_stats_asym_pallas(
+        Z, jnp.float32(thresh), q, tile_b=32, k=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(rowsum), D.sum(1))
+    np.testing.assert_allclose(np.asarray(below), ((N - D) < thresh).sum(1))
+
+
 def test_plan_asym_vmem_budget():
     """The asym planner's VMEM accounting must hold for every plan it
     can emit, across alignment widths and alphabets."""
