@@ -195,7 +195,8 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
                top_k: Optional[int], cache_dir: Optional[str],
                quiet: bool, msa_future=None, stem: str = None,
                cache_key: str = None, mesh=None, emit: bool = True,
-               cache_read: bool = True) -> Optional[str]:
+               cache_read: bool = True,
+               emit_errors_fatal: bool = True) -> Optional[str]:
     """Process one family; returns the output path.
 
     ``msa_future``: optional concurrent.futures.Future holding the
@@ -208,6 +209,11 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
     short-circuit on an existing artifact (pod-mesh mode decides cache
     hits collectively — a single process skipping the collective
     program on a locally-visible artifact would hang the pod).
+    ``emit_errors_fatal=False``: writer-local I/O failures AFTER the
+    collective program (output/cache writes) are recorded in the run
+    log and reported as ``None`` instead of raised — in pod-mesh mode
+    process 0 dying on a local disk error while peers proceed to the
+    next family's collectives would wedge the pod with no timeout.
     """
     from gaussdca_tpu import api
     from gaussdca_tpu.io import fasta
@@ -218,19 +224,36 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
         stem = _stem(path)
     out_path = os.path.join(out_dir, stem + ".rank.txt")
     if emit:
-        os.makedirs(out_dir, exist_ok=True)
+        try:
+            os.makedirs(out_dir, exist_ok=True)
+        except OSError:
+            if emit_errors_fatal:
+                raise
+            # nonfatal mode: defer — the wrapped emit stage retries the
+            # makedirs and records the failure without desyncing a pod
 
     log = RunLog(stem, enabled=not quiet)
 
     cached = None
     if cache_dir and emit:
-        os.makedirs(cache_dir, exist_ok=True)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+        except OSError:
+            if emit_errors_fatal:
+                raise
         if cache_key is None:
             cache_key = _cache_key(path, cfg, top_k, _mesh_desc(mesh))
         cached = os.path.join(cache_dir, cache_key)
         if cache_read and os.path.exists(cached):
-            with open(cached) as fh, open(out_path, "w") as out:
-                out.write(fh.read())
+            try:
+                with open(cached) as fh, open(out_path, "w") as out:
+                    out.write(fh.read())
+            except OSError as e:
+                if emit_errors_fatal:
+                    raise
+                log.set(emit_error=f"{type(e).__name__}: {e}")
+                log.emit()
+                return None
             log.set(cached=True, output=out_path)
             log.emit()
             return out_path
@@ -244,15 +267,25 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
         result = api.gdca_from_msa(msa, cfg, top_k=top_k, mesh=mesh)
     if not emit:
         return None
-    with log.stage("emit"):
-        R = result.ranking
-        text = format_rank(R)
-        os.makedirs(out_dir, exist_ok=True)
-        with open(out_path, "w") as fh:
-            fh.write(text)
-        if cached:
-            with open(cached, "w") as fh:
+    try:
+        with log.stage("emit"):
+            R = result.ranking
+            text = format_rank(R)
+            os.makedirs(out_dir, exist_ok=True)
+            with open(out_path, "w") as fh:
                 fh.write(text)
+            if cached:
+                with open(cached, "w") as fh:
+                    fh.write(text)
+    except OSError as e:
+        # post-program writer I/O failure: the collective program is
+        # already complete, so (when requested) degrade to a recorded
+        # per-family error instead of killing this process
+        if emit_errors_fatal:
+            raise
+        log.set(emit_error=f"{type(e).__name__}: {e}")
+        log.emit()
+        return None
 
     from gaussdca_tpu.utils.flops import pipeline_flops
     fl = pipeline_flops(result.M, result.N, result.q, score=cfg.score,
@@ -448,6 +481,38 @@ def main(argv: Optional[List[str]] = None) -> int:
                 _np.asarray(pod_cache_skip, _np.bool_))
             pod_cache_skip = [bool(x) for x in _np.asarray(dec)]
 
+    # Pod-mesh writer-setup agreement: every writer-side directory is
+    # created (and the merge output opened) BEFORE any compute, and the
+    # outcome is broadcast — if process 0 died on a local I/O error
+    # (unwritable output dir, quota) while peers entered the first
+    # family's collective program, the mismatched collectives would
+    # wedge the pod with no timeout. A failed setup aborts ALL
+    # processes, visibly, before compute.
+    pod_merge_fh = None
+    if pod_mesh and pcnt > 1:
+        setup_err = ""
+        if is_writer:
+            try:
+                os.makedirs(args.output_dir, exist_ok=True)
+                if args.cache_dir:
+                    os.makedirs(args.cache_dir, exist_ok=True)
+                if merge_path:
+                    os.makedirs(os.path.dirname(
+                        os.path.abspath(merge_path)), exist_ok=True)
+                    pod_merge_fh = open(merge_path, "w")
+            except OSError as e:
+                setup_err = f"{type(e).__name__}: {e}"
+        import numpy as _np
+        from jax.experimental import multihost_utils
+        bad = multihost_utils.broadcast_one_to_all(
+            _np.asarray([1 if setup_err else 0], _np.int32))
+        if int(_np.asarray(bad)[0]):
+            print(json.dumps({"pod_abort": True, "setup": True,
+                              "error": setup_err[:500] or
+                              "writer setup failed on process 0"}),
+                  file=sys.stderr, flush=True)
+            return 2
+
     def _submit(k: int, futures) -> None:
         # skip the parse for families the artifact cache will short-circuit
         # (the key is kept and passed down — the file is hashed only once)
@@ -468,8 +533,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         futures[k] = pool.submit(fasta.read_fasta_alignment,
                                  args.inputs[k], cfg.max_gap_fraction)
 
-    merge_fh = None
-    if merge_path:
+    merge_fh = pod_merge_fh
+    if merge_path and merge_fh is None:
         parent = os.path.dirname(os.path.abspath(merge_path))
         os.makedirs(parent, exist_ok=True)
         merge_fh = open(merge_path, "w")
@@ -485,6 +550,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             emit = is_writer
             cache_read = (not pod_mesh) or pod_cache_skip[k]
             quiet = args.quiet or not is_writer
+            # in a >1-process pod, writer-local I/O failures after the
+            # collective program must not kill process 0 (peers would
+            # wedge in the next family's collectives) — downgrade them
+            # to recorded per-family errors instead
+            emit_fatal = not (pod_mesh and pcnt > 1)
             try:
                 try:
                     out_path = run_family(path, cfg, args.output_dir,
@@ -494,7 +564,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                                           stem=stems[k],
                                           cache_key=cache_keys[k],
                                           mesh=mesh_obj, emit=emit,
-                                          cache_read=cache_read)
+                                          cache_read=cache_read,
+                                          emit_errors_fatal=emit_fatal)
                 except Exception as e:
                     if pod_mesh and pcnt > 1:
                         raise  # pod: handled below — never retried
@@ -512,11 +583,25 @@ def main(argv: Optional[List[str]] = None) -> int:
                                           quiet, stem=stems[k],
                                           cache_key=cache_keys[k],
                                           mesh=mesh_obj, emit=emit,
-                                          cache_read=cache_read)
-                if merge_fh is not None:
-                    with open(out_path) as fh:
-                        for line in fh:
-                            merge_fh.write(f"{stems[k]} {line}")
+                                          cache_read=cache_read,
+                                          emit_errors_fatal=emit_fatal)
+                if emit and out_path is None:
+                    # non-fatal writer emit failure (pod mode): already
+                    # logged by run_family; count it and stay in
+                    # lockstep with the other processes
+                    n_err += 1
+                elif merge_fh is not None and out_path is not None:
+                    try:
+                        with open(out_path) as fh:
+                            for line in fh:
+                                merge_fh.write(f"{stems[k]} {line}")
+                    except OSError:
+                        if emit_fatal:
+                            raise
+                        n_err += 1
+                        print(json.dumps({"family": path,
+                                          "merge_error": True}),
+                              file=sys.stderr, flush=True)
             except Exception as e:
                 if pod_mesh and pcnt > 1:
                     # A failure inside a pod-spanning collective program

@@ -314,6 +314,54 @@ def test_cli_pod_mesh_two_process(tmp_path, golden_dir):
     assert todict(rank0.read_text()) == got
 
 
+def test_cli_pod_mesh_writer_setup_abort(tmp_path, golden_dir):
+    """A writer-local setup failure (unwritable output dir on process
+    0) must abort the WHOLE pod before any compute — not kill process 0
+    while the peers enter the first family's collective program (a
+    mismatched-collectives wedge with no timeout). Both processes exit
+    rc=2 via the broadcast setup decision."""
+    small = os.path.join(golden_dir, "small.fasta.gz")
+    script = tmp_path / "pod_child.py"
+    script.write_text(_POD_CHILD)
+    # output "dir" is an existing FILE -> os.makedirs raises on the
+    # writer; the test shares one FS, but only process 0 attempts it
+    blocked = tmp_path / "blocked_out"
+    blocked.write_text("not a directory")
+    cache = tmp_path / "cache"
+
+    outs = _spawn_pod_cli(
+        tmp_path, script,
+        lambda i: [str(blocked), str(cache), small])
+    for i, (rc, out, err) in enumerate(outs):
+        # the child wrapper always exits 0; main()'s return code is in
+        # the POD-RC marker
+        assert rc == 0, f"process {i} crashed:\n{out}\n{err}"
+        assert f"POD-RC p{i} 2" in out, (out, err)
+        assert '"pod_abort": true' in err, err
+        assert '"setup": true' in err, err
+
+
+def test_run_family_emit_errors_nonfatal(tmp_path, golden_dir):
+    """run_family(emit_errors_fatal=False): a post-program writer I/O
+    failure is recorded and reported as None instead of raised (the
+    pod-mesh lockstep requirement)."""
+    from gaussdca_tpu.cli import run_family
+    from gaussdca_tpu.core.config import GDCAConfig
+
+    small = os.path.join(golden_dir, "small.fasta.gz")
+    blocked = tmp_path / "blocked_out"
+    blocked.write_text("not a directory")
+    cfg = GDCAConfig(dtype="float64")
+    out = run_family(small, cfg, str(blocked), None, None, quiet=True,
+                     emit=False)
+    assert out is None  # non-writer path: no writes attempted at all
+    out = run_family(small, cfg, str(blocked), None, None, quiet=True,
+                     emit_errors_fatal=False)
+    assert out is None
+    with pytest.raises(OSError):
+        run_family(small, cfg, str(blocked), None, None, quiet=True)
+
+
 def test_dryrun_multichip_self_pins_cpu_platform(tmp_path):
     """The driver's multichip dryrun must not depend on the remote-TPU
     tunnel or on env vars: the preloaded TPU plugin initializes its
