@@ -298,9 +298,18 @@ def _di_tail_gemm(Jb, Li, Lj, sqrt_fn):
     # the fixed-iteration f32 paths a pathological cond(G) can leave S
     # under-converged and (I + S)/2 indefinite, making the batched
     # Cholesky NaN — degrade that pair's score to 0 instead of letting
-    # correct_apc propagate the NaN to the entire matrix. (A no-op for
-    # converged pairs, including the monitored f64 golden path.)
-    ld = jnp.nan_to_num(ld, nan=0.0, posinf=0.0, neginf=0.0)
+    # correct_apc propagate the NaN to the entire matrix. Applied ONLY
+    # where the pair's INPUTS were finite: a singular covariance NaNs
+    # mJ itself, and sanitizing that would hand api._checked_ranking a
+    # clean-looking all-zero ranking instead of the ArithmeticError it
+    # exists to raise. (A no-op for converged pairs, including the
+    # monitored f64 golden path.)
+    finite_in = (jnp.isfinite(Jb).all(axis=(-1, -2))
+                 & jnp.isfinite(Li).all(axis=(-1, -2))
+                 & jnp.isfinite(Lj).all(axis=(-1, -2)))
+    ld = jnp.where(finite_in,
+                   jnp.nan_to_num(ld, nan=0.0, posinf=0.0, neginf=0.0),
+                   ld)
     return 0.5 * ld
 
 

@@ -140,3 +140,10 @@ def test_singular_covariance_raises_not_nan():
     # descending total order) must catch it too
     with pytest.raises(ArithmeticError, match="positive definite"):
         api.gdca_from_msa(msa, cfg, top_k=5)
+    # score=DI exercises the gemm-tail path (small P), whose
+    # under-convergence nan_to_num must NOT sanitize solver-poisoned
+    # inputs into a clean-looking all-zero ranking
+    cfg_di = GDCAConfig(pseudocount=0.0, theta=0.2, min_separation=1,
+                        score="DI")
+    with pytest.raises(ArithmeticError, match="positive definite"):
+        api.gdca_from_msa(msa, cfg_di)
