@@ -16,29 +16,23 @@ backend (the 2-host analog of a TPU pod's one-process-per-host layout):
 """
 
 import os
-import socket
 import subprocess
 import sys
 
 import pytest
 
+from gaussdca_tpu.parallel.podspawn import spawn_pod
+
+# children are BODIES — podspawn.CHILD_PRELUDE supplies the CPU pin,
+# gloo selection, and coordinator env wiring, and leaves the string
+# variables ``port`` and ``pid`` in scope
 _CHILD = r"""
-import os, sys
-import jax
-
-# before any backend init: CPU platform (the axon plugin is preloaded)
-# and gloo cross-process collectives for the multi-process CPU client
-jax.config.update("jax_platforms", "cpu")
-try:
-    jax.config.update("jax_cpu_collectives_implementation", "gloo")
-except Exception:
-    pass
-
-port = sys.argv[1]
-pid = int(sys.argv[2])
+pid = int(pid)
 
 from gaussdca_tpu.parallel import mesh as meshlib
 
+# the wiring test exercises the EXPLICIT-argument path (not the env
+# vars the prelude also set)
 idx, cnt = meshlib.init_distributed(coordinator=f"localhost:{port}",
                                     num_processes=2, process_id=pid)
 assert (idx, cnt) == (pid, 2), (idx, cnt)
@@ -71,32 +65,9 @@ except Exception as e:  # missing gloo/mpi CPU-collective support
 
 
 def test_two_process_distributed_wiring(tmp_path):
-    script = tmp_path / "child.py"
-    script.write_text(_CHILD)
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)  # default 1 CPU device per process
-    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [subprocess.Popen(
-        [sys.executable, str(script), str(port), str(i)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        env=env, cwd=repo_root)
-        for i in range(2)]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=240)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append((p.returncode, out, err))
-
+    # default 1 CPU device per process
+    outs = spawn_pod(_CHILD, devices_per_process=1, timeout=240,
+                     script_dir=tmp_path)
     for i, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"process {i} failed:\n{out}\n{err}"
         assert f"WIRING-OK p{i}" in out, (out, err)
@@ -108,21 +79,8 @@ def test_two_process_distributed_wiring(tmp_path):
 
 
 _CLI_CHILD = r"""
-import os, sys
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-try:
-    jax.config.update("jax_cpu_collectives_implementation", "gloo")
-except Exception:
-    pass
-
-port, pid, out_dir, merge = sys.argv[1:5]
+out_dir, merge = sys.argv[3:5]
 inputs = sys.argv[5:]
-
-os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
-os.environ["JAX_NUM_PROCESSES"] = "2"
-os.environ["JAX_PROCESS_ID"] = pid
 
 from gaussdca_tpu.cli import main
 
@@ -154,34 +112,12 @@ def test_cli_distributed_two_process(tmp_path):
         p.write_text("".join(lines))
         inputs.append(str(p))
 
-    script = tmp_path / "cli_child.py"
-    script.write_text(_CLI_CHILD)
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)
-    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     out_dir = tmp_path / "out"
     merge = str(tmp_path / "merged.txt")
-    procs = [subprocess.Popen(
-        [sys.executable, str(script), str(port), str(i), str(out_dir),
-         merge] + inputs,
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        env=env, cwd=repo_root) for i in range(2)]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=240)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append((p.returncode, out, err))
-
+    outs = spawn_pod(_CLI_CHILD, devices_per_process=1, timeout=240,
+                     script_dir=tmp_path,
+                     args_per_proc=lambda i: [str(out_dir), merge]
+                     + inputs)
     for i, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"process {i} failed:\n{out}\n{err}"
         assert f"CLI-RC p{i} 0" in out, (out, err)
@@ -201,22 +137,10 @@ def test_cli_distributed_two_process(tmp_path):
 
 
 _POD_CHILD = r"""
-import os, sys
-import jax
+jax.config.update("jax_enable_x64", True)  # before any computation
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-try:
-    jax.config.update("jax_cpu_collectives_implementation", "gloo")
-except Exception:
-    pass
-
-port, pid, out_dir, cache_dir = sys.argv[1:5]
+out_dir, cache_dir = sys.argv[3:5]
 inputs = sys.argv[5:]
-
-os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
-os.environ["JAX_NUM_PROCESSES"] = "2"
-os.environ["JAX_PROCESS_ID"] = pid
 
 from gaussdca_tpu.cli import main
 
@@ -228,30 +152,10 @@ print(f"POD-RC p{pid} {rc} ndev={jax.device_count()}", flush=True)
 """
 
 
-def _spawn_pod_cli(tmp_path, script, args_per_proc, timeout=300):
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+def _spawn_pod_cli(tmp_path, args_per_proc, timeout=300):
     # 4 virtual devices per process -> an 8-device global mesh
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [subprocess.Popen(
-        [sys.executable, str(script), str(port), str(i)] + args_per_proc(i),
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        env=env, cwd=repo_root) for i in range(2)]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append((p.returncode, out, err))
-    return outs
+    return spawn_pod(_POD_CHILD, devices_per_process=4, timeout=timeout,
+                     script_dir=tmp_path, args_per_proc=args_per_proc)
 
 
 def test_cli_pod_mesh_two_process(tmp_path, golden_dir):
@@ -267,14 +171,11 @@ def test_cli_pod_mesh_two_process(tmp_path, golden_dir):
     import numpy as np
 
     small = os.path.join(golden_dir, "small.fasta.gz")
-    script = tmp_path / "pod_child.py"
-    script.write_text(_POD_CHILD)
     out_dirs = [tmp_path / f"out{i}" for i in range(2)]
     cache = tmp_path / "cache"
 
     outs = _spawn_pod_cli(
-        tmp_path, script,
-        lambda i: [str(out_dirs[i]), str(cache), small])
+        tmp_path, lambda i: [str(out_dirs[i]), str(cache), small])
     for i, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"process {i} failed:\n{out}\n{err}"
         assert f"POD-RC p{i} 0 ndev=8" in out, (out, err)
@@ -306,8 +207,7 @@ def test_cli_pod_mesh_two_process(tmp_path, golden_dir):
 
     # (d) rerun: pod-agreed artifact-cache skip (broadcast decision)
     outs2 = _spawn_pod_cli(
-        tmp_path, script,
-        lambda i: [str(out_dirs[i]), str(cache), small])
+        tmp_path, lambda i: [str(out_dirs[i]), str(cache), small])
     for i, (rc, out, err) in enumerate(outs2):
         assert rc == 0, f"rerun process {i} failed:\n{out}\n{err}"
     assert '"cached": true' in outs2[0][2], outs2[0][2]
@@ -321,8 +221,6 @@ def test_cli_pod_mesh_writer_setup_abort(tmp_path, golden_dir):
     mismatched-collectives wedge with no timeout). Both processes exit
     rc=2 via the broadcast setup decision."""
     small = os.path.join(golden_dir, "small.fasta.gz")
-    script = tmp_path / "pod_child.py"
-    script.write_text(_POD_CHILD)
     # output "dir" is an existing FILE -> os.makedirs raises on the
     # writer; the test shares one FS, but only process 0 attempts it
     blocked = tmp_path / "blocked_out"
@@ -330,8 +228,7 @@ def test_cli_pod_mesh_writer_setup_abort(tmp_path, golden_dir):
     cache = tmp_path / "cache"
 
     outs = _spawn_pod_cli(
-        tmp_path, script,
-        lambda i: [str(blocked), str(cache), small])
+        tmp_path, lambda i: [str(blocked), str(cache), small])
     for i, (rc, out, err) in enumerate(outs):
         # the child wrapper always exits 0; main()'s return code is in
         # the POD-RC marker
