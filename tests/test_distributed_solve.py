@@ -101,6 +101,29 @@ def test_storage_sharded_no_full_size_tensor():
     assert blocked_shapes & full  # the replicated path does materialize
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_storage_sharded_memory_at_32768():
+    """The same per-device memory property at the scale the design
+    claim is about (Ns = 32768: a 4 GiB f32 covariance — larger than
+    one v5e chip's comfortable replicated working set, VERDICT r2 item
+    2). Compile-only: the partitioned per-device HLO must hold no
+    tensor larger than the [n/ndev, n] row slab (512 MiB/device)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = 32768
+    m = meshlib.make_mesh(8, shape=(4, 2))
+    spec = NamedSharding(m, P(("data", "model"), None))
+    sd = jax.ShapeDtypeStruct((n, n), jnp.float32)
+    comp = jax.jit(lambda C: spd_inverse_dist(C, mesh=m, block=2048),
+                   in_shardings=spec,
+                   out_shardings=spec).lower(sd).compile()
+    shapes = re.findall(r"f32\[(\d+),(\d+)\]", comp.as_text())
+    assert shapes, "no 2-D f32 tensors found in the per-device HLO?"
+    assert (str(n), str(n)) not in set(shapes)
+    max_elems = max(int(a) * int(b) for a, b in shapes)
+    assert max_elems <= (n // 8) * n, max_elems
+
+
 def test_pair_assignment_properties():
     from gaussdca_tpu.parallel.sharded import _pair_assignment
 
