@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Summarize a tpu_session.sh output dir into flip/reject decisions.
+
+    python scripts/tpu_decide.py [/tmp/tpu_session_r3]
+
+Reads each leg's JSON + rc and prints, per pending round-3 decision
+(docs/ROADMAP.md items 5-7, PERFORMANCE.md round-3 section):
+  - distance kernel: square (auto / tile-384) vs asym (auto / k=2 / 4)
+  - DI formulation at N=400 / N=1000: gathered vs dense-tile vs
+    exact-fit row block
+  - golden parity + floor-gate outcomes
+with the measured deltas, so the measure-then-flip step after a tunnel
+window is a read of one table instead of 13 files. Purely a reader —
+flips themselves stay manual (dispatch defaults are code changes).
+"""
+
+import json
+import os
+import sys
+
+
+def _load(out, name):
+    p = os.path.join(out, f"{name}.json")
+    rcp = os.path.join(out, f"{name}.rc")
+    rc = None
+    if os.path.exists(rcp):
+        rc = open(rcp).read().strip()
+    if not os.path.exists(p) or os.path.getsize(p) == 0:
+        return rc, None
+    try:
+        with open(p) as fh:
+            # legs print one JSON object on their last line
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        return rc, json.loads(lines[-1])
+    except (ValueError, IndexError):
+        return rc, None
+
+
+def main(out):
+    print(f"[decide] session dir: {out}\n")
+
+    rc, _ = _load(out, "golden")
+    print(f"golden parity: rc={rc}  "
+          f"{'OK' if rc == '0' else '!! investigate before any flip'}")
+
+    # --- distance kernel sweep ---------------------------------------
+    dist = {}
+    for name in ("dist_square", "dist_square_t384", "dist_asym_auto",
+                 "dist_asym_k2", "dist_asym_k4"):
+        rc, d = _load(out, name)
+        if d and "pairs_per_s" in d:
+            dist[name] = d
+    if dist:
+        base = dist.get("dist_square", {}).get("pairs_per_s")
+        print("\ndistance kernel (pairs/s, vs square auto):")
+        for name, d in sorted(dist.items(),
+                              key=lambda kv: -kv[1]["pairs_per_s"]):
+            rel = (d["pairs_per_s"] / base - 1) * 100 if base else 0.0
+            extra = ""
+            if "asym" in name:
+                extra = f" (tile={d.get('tile')}, k={d.get('k')})"
+            elif "t384" in name:
+                extra = f" (tile={d.get('tile')})"
+            print(f"  {name:18s} {d['pairs_per_s']:.3e} "
+                  f"({d['tf_equiv']:.0f} TF-equiv) {rel:+.1f}%{extra}")
+        best = max(dist, key=lambda k: dist[k]["pairs_per_s"])
+        if base and dist[best]["pairs_per_s"] > 1.03 * base:
+            if "asym" in best:
+                print(f"  -> FLIP: make asym the dispatch default "
+                      f"(ops/dispatch.py), plan ({dist[best].get('tile')},"
+                      f" {dist[best].get('k')}); then --update-floor")
+            else:
+                print("  -> FLIP: add 384 to _plan_tiles candidates; "
+                      "then --update-floor")
+        elif base:
+            print("  -> keep square auto as default; log the rejection "
+                  "with these numbers in PERFORMANCE.md")
+
+    # --- DI formulation ----------------------------------------------
+    print("\nDI end-to-end (median_s; lower is better):")
+    for n in ("400", "1000"):
+        row = {}
+        for variant in ("gathered", "tiled", "tiled_exact"):
+            rc, d = _load(out, f"di{n}_{variant}")
+            if d and "median_s" in d:
+                row[variant] = d["median_s"]
+        if row:
+            parts = ", ".join(f"{k}={v:.3f}s" for k, v in row.items())
+            print(f"  N={n}: {parts}")
+            if "gathered" in row:
+                best = min(row, key=row.get)
+                sp = row["gathered"] / row[best]
+                print(f"    best: {best} ({sp:.2f}x vs gathered)")
+    print("  -> decisions: GDCA_DI_TILED stays default iff tiled <= "
+          "gathered at BOTH N; GDCA_DI_RB=exact becomes default iff "
+          "tiled_exact wins at N=400 without losing at N=1000 "
+          "(docs/ROADMAP.md item 6). Either way: PERFORMANCE.md entry.")
+
+    rc, d = _load(out, "bench_check")
+    print(f"\nbench --check: rc={rc}"
+          + (f"  parsed: {d.get('metric', '')[:60]}..." if d else ""))
+    if rc == "0":
+        print("  -> floors hold; after any default flip, re-pin with "
+              "`python bench.py --update-floor` (solo chip!)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1] if len(sys.argv) > 1
+                          else "/tmp/tpu_session_r3"))
