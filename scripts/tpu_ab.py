@@ -40,6 +40,7 @@ def leg_distance(impl, M, N, q, reps, k, tile):
     import jax
     import jax.numpy as jnp
     from gaussdca_tpu.ops import distance
+    from gaussdca_tpu.stats import reweight
 
     rng = np.random.default_rng(0)
     Zs = [jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
@@ -55,10 +56,33 @@ def leg_distance(impl, M, N, q, reps, k, tile):
             rs, _ = distance.row_stats_asym_pallas(Zi, thresh, q, k=k,
                                                    tile_b=tile)
             return float(np.asarray(rs[0]))
+
+        def stats(Zi, th):
+            return distance.row_stats_asym_pallas(Zi, th, q, k=k,
+                                                  tile_b=tile)
     else:
         def run(Zi):
             rs, _ = distance.row_stats_sym_pallas(Zi, thresh, q, tile_m=tile)
             return float(np.asarray(rs[0]))
+
+        def stats(Zi, th):
+            return distance.row_stats_sym_pallas(Zi, th, q, tile_m=tile)
+
+    # on-chip exactness preflight: interpret-mode tests can't catch a
+    # real-Mosaic miscompile, and timing a wrong kernel would silently
+    # poison the flip decision. Counts are exact integers in f32, so
+    # the comparison is equality. Small M: one extra compile, ~s.
+    Mv = min(M, 2048)
+    Zv = jnp.asarray(rng.integers(1, q + 1, size=(Mv, N), dtype=np.int8))
+    tv = jnp.asarray(7.0, jnp.float32)
+    rs_k, bel_k = (np.asarray(x) for x in stats(Zv, tv))
+    D = np.asarray(reweight.match_counts(Zv))
+    if not (np.array_equal(rs_k, D.sum(1).astype(rs_k.dtype))
+            and np.array_equal(bel_k,
+                               ((N - D) < 7.0).sum(1).astype(bel_k.dtype))):
+        log(f"[ab] {impl} EXACTNESS FAILED at M={Mv} — aborting leg")
+        raise SystemExit(9)
+    log(f"[ab] {impl} exactness preflight OK (M={Mv})")
 
     t, times = _times(run, Zs)
     pairs = M * (M - 1) / 2
