@@ -55,5 +55,9 @@ run di400_tiled_exact  900 env GDCA_DI_TILED=1 GDCA_DI_RB=exact python scripts/t
 run di1000_tiled_exact 1200 env GDCA_DI_TILED=1 GDCA_DI_RB=exact python scripts/tpu_ab.py di-n1000
 run bench_check    2400 python bench.py --check
 
+# pure reader: one flip/reject table from the leg JSONs
+python scripts/tpu_decide.py "$OUT" > "$OUT/decision.txt" 2>&1 || true
+tail -40 "$OUT/decision.txt" | sed 's/^/  /'
+
 echo "[session] done — results in $OUT ($INCOMPLETE leg(s) incomplete)"
 exit $((INCOMPLETE > 0 ? 1 : 0))
