@@ -78,18 +78,28 @@ def bench_solve(Ns=8000, reps=3):
             return spd_inverse(A)
 
     def make(seed):
+        # host-side np array; device_put happens one rep at a time below
         rng = np.random.default_rng(seed)
         A = rng.standard_normal((Ns, 256)).astype(np.float32)
-        C = A @ A.T / 256 + Ns * np.eye(Ns, dtype=np.float32)
-        return jnp.asarray(C)
+        C = (A @ A.T) / 256
+        C[np.arange(Ns), np.arange(Ns)] += Ns
+        return C
 
-    Cs = [make(s) for s in range(reps + 1)]
-    float(np.asarray(inv(Cs[0])[0, 0]))  # compile
+    # One device-resident input at a time: at Ns=20000 a single f32
+    # input is 1.6 GB, and holding reps+1 of them alongside the solve's
+    # own ~5 n^2 working buffers would approach the 16 GB HBM budget.
+    # The axon-cache rule needs distinct VALUES per rep, not
+    # simultaneous residency.
+    C = jnp.asarray(make(0))
+    float(np.asarray(inv(C)[0, 0]))  # compile
+    del C
     times = []
-    for C in Cs[1:]:
+    for s in range(1, reps + 1):
+        C = jnp.asarray(make(s))
         t0 = time.perf_counter()
         float(np.asarray(inv(C)[0, 0]))
         times.append(time.perf_counter() - t0)
+        del C
     t = float(np.median(times))
     # dpotrf+dpotri-equivalent flops: (1/3 + 2/3) * Ns^3 ~= Ns^3; the
     # Newton refinement step adds 4 Ns^3 matmul flops

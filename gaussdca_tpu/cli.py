@@ -196,6 +196,7 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
                quiet: bool, msa_future=None, stem: str = None,
                cache_key: str = None, mesh=None, emit: bool = True,
                cache_read: bool = True,
+               cache_only: bool = False,
                emit_errors_fatal: bool = True) -> Optional[str]:
     """Process one family; returns the output path.
 
@@ -214,6 +215,11 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
     log and reported as ``None`` instead of raised — in pod-mesh mode
     process 0 dying on a local disk error while peers proceed to the
     next family's collectives would wedge the pod with no timeout.
+    ``cache_only=True``: the pod already AGREED this family is a cache
+    hit (every peer skipped it) — serve from the artifact or record a
+    writer-local failure, but NEVER fall through to compute: entering
+    the pod-spanning collective program alone (if the artifact vanished
+    between the broadcast and this family's turn) would wedge the pod.
     """
     from gaussdca_tpu import api
     from gaussdca_tpu.io import fasta
@@ -257,6 +263,19 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
             log.set(cached=True, output=out_path)
             log.emit()
             return out_path
+    if cache_only:
+        # pod-agreed hit, but the artifact is gone (evicted/cleaned
+        # between the broadcast and this family's turn). Recomputing is
+        # forbidden — peers skipped this family, so this process would
+        # run the collective program alone and wedge the pod. No
+        # collectives are involved in serving a cache hit, so this is a
+        # purely writer-local failure: record it and stay in lockstep.
+        err = f"pod-agreed cache artifact missing: {cached}"
+        if emit_errors_fatal:
+            raise RuntimeError(err)
+        log.set(emit_error=err)
+        log.emit()
+        return None
 
     with log.stage("ingest"):
         if msa_future is not None:
@@ -317,6 +336,8 @@ def _retryable(e: BaseException) -> bool:
     RuntimeError subclasses (XlaRuntimeError is one) and anything whose
     message carries an XLA/gRPC transient status code.
     """
+    # (the RuntimeError carve-out only matters for exotic
+    # multiply-inherited exception classes — keep those retryable)
     if isinstance(e, (ValueError, OSError)) and \
             not isinstance(e, RuntimeError):
         return False
@@ -463,12 +484,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     # ships the per-family decisions before any compute starts.
     pod_cache_skip = [False] * len(args.inputs)
     if pod_mesh and args.cache_dir:
-        for k in range(len(args.inputs)):
-            try:
-                cache_keys[k] = _cache_key(args.inputs[k], cfg,
-                                           args.top_k, mesh_desc)
-            except OSError:
-                cache_keys[k] = None
+        # only the writer's keys are ever used (run_family gates cache
+        # I/O on emit, and the skip decision arrives by broadcast) —
+        # don't make every peer read + hash the whole input batch
+        if is_writer:
+            for k in range(len(args.inputs)):
+                try:
+                    cache_keys[k] = _cache_key(args.inputs[k], cfg,
+                                               args.top_k, mesh_desc)
+                except OSError:
+                    cache_keys[k] = None
         if is_writer:
             pod_cache_skip = [
                 bool(ck and os.path.exists(
@@ -549,6 +574,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             # reads follow the pod-agreed decision, never local state
             emit = is_writer
             cache_read = (not pod_mesh) or pod_cache_skip[k]
+            # pod-agreed hit in a >1-process pod: the writer serves the
+            # artifact but must never recompute (peers skipped — see
+            # run_family's cache_only contract)
+            cache_only = pod_mesh and pcnt > 1 and pod_cache_skip[k]
             quiet = args.quiet or not is_writer
             # in a >1-process pod, writer-local I/O failures after the
             # collective program must not kill process 0 (peers would
@@ -565,6 +594,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                                           cache_key=cache_keys[k],
                                           mesh=mesh_obj, emit=emit,
                                           cache_read=cache_read,
+                                          cache_only=cache_only,
                                           emit_errors_fatal=emit_fatal)
                 except Exception as e:
                     if pod_mesh and pcnt > 1:
@@ -584,6 +614,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                                           cache_key=cache_keys[k],
                                           mesh=mesh_obj, emit=emit,
                                           cache_read=cache_read,
+                                          cache_only=cache_only,
                                           emit_errors_fatal=emit_fatal)
                 if emit and out_path is None:
                     # non-fatal writer emit failure (pod mode): already

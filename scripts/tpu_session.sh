@@ -8,7 +8,8 @@
 # Legs (each its own interpreter: dispatch knobs are read at trace
 # time):
 #   1. on-chip golden parity (tpu_check.py) — correctness first
-#   2. distance A/B: square circulant vs grouped-A asym (k=auto, 2, 3)
+#   2. distance A/B: square circulant (tile auto + 384) vs grouped-A
+#      asym (k=auto, 2, 4)
 #   3. DI e2e A/B at N=1000 and N=400: gathered vs dense-tile
 #   4. bench.py --check against the pinned floors
 # After: read $OUT/*.json, flip dispatch defaults or log rejections in

@@ -246,3 +246,30 @@ def test_merge_output(tmp_path, golden_dir):
     for ln in lines:
         t = ln.split()
         assert len(t) == 4 and int(t[1]) >= 1 and float(t[3])
+
+
+def test_run_family_cache_only_missing_artifact(small, tmp_path, capsys):
+    """A pod-agreed cache hit whose artifact vanished must NEVER fall
+    through to compute (peers skipped the family — the writer entering
+    the collective program alone would wedge the pod): nonfatal mode
+    records a writer-local emit error and returns None; fatal mode
+    raises."""
+    from gaussdca_tpu.cli import run_family
+    from gaussdca_tpu.core.config import GDCAConfig
+
+    cfg = GDCAConfig()
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    out = run_family(small, cfg, str(tmp_path / "out"), None, str(cache),
+                     quiet=False, cache_read=True, cache_only=True,
+                     emit_errors_fatal=False)
+    assert out is None
+    rec = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert "artifact missing" in rec["emit_error"]
+    # no compute happened: no pipeline timing was recorded
+    assert "pipeline" not in rec.get("timings_s", {})
+
+    with pytest.raises(RuntimeError, match="artifact missing"):
+        run_family(small, cfg, str(tmp_path / "out"), None, str(cache),
+                   quiet=True, cache_read=True, cache_only=True,
+                   emit_errors_fatal=True)
