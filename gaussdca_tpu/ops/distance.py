@@ -791,17 +791,28 @@ def row_stats_rect_jnp(ZA: jax.Array, ZB: jax.Array, thresh: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("q", "tile_m", "interpret"))
-def match_counts_pallas(Z: jax.Array, q: int = 21, *, tile_m: int = 256,
+def match_counts_pallas(Z: jax.Array, q: int = 21, *, tile_m: int = 0,
                         interpret: bool = False) -> jax.Array:
-    """[M, M] identity counts via the tiled Pallas kernel."""
+    """[M, M] identity counts via the tiled Pallas kernel.
+
+    ``tile_m=0`` auto-plans (tile, unroll) against the scoped-VMEM
+    budget (``_plan_tiles``) — a fixed wide tile under full unroll
+    blows the 16 MB limit once the one-hot temporaries reach
+    ~(2q+8)*tile*Np bytes (Np >= ~1408 at q=21, tile=256). An explicit
+    ``tile_m`` keeps full unroll (caller's choice, e.g. tests pinning a
+    grid parity).
+    """
     M, N = Z.shape
+    unroll = True
+    if tile_m == 0:
+        tile_m, unroll = _plan_tiles(N, q)
     Mp = _round_up(max(M, tile_m), tile_m)
     Np = _round_up(max(N, 128), 128)
     Zp = jnp.zeros((Mp, Np), jnp.int8).at[:M, :N].set(Z.astype(jnp.int8))
 
     grid = (Mp // tile_m, Mp // tile_m)
     out = pl.pallas_call(
-        functools.partial(_match_kernel, q=q),
+        functools.partial(_match_kernel, q=q, unroll=unroll),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_m, Np), lambda i, j: (i, 0),

@@ -381,6 +381,26 @@ def _plan_row_block(N: int) -> int:
     return 4096
 
 
+def _tiled_lane_gate(N: int, pair_chunk: int) -> bool:
+    """Whether the dense-tile DI formulation stays within the gathered
+    path's lane-batch memory bound at this N.
+
+    The tile planner caps the tile COUNT (compile-time bound), so the
+    row block — and with it the per-tile [s, s, RB^2] f32 temporaries —
+    grows as ~N/8 beyond N=2048 (RB 256 -> 512 -> ...), losing the
+    O(pair_chunk) memory bound the gathered path provides. Gate the
+    tiled default on RB^2 <= max(pair_chunk, _BM_MIN_PAIRS) and let the
+    gathered chunked path take over at wider N. An explicit GDCA_DI_RB
+    integer override bypasses the gate (expert knob: the caller chose
+    the lane batch)."""
+    import os
+
+    if os.environ.get("GDCA_DI_RB", "").strip().isdigit():
+        return True
+    rb = _plan_row_block(N)
+    return rb * rb <= max(pair_chunk, _BM_MIN_PAIRS)
+
+
 def di_score_bm_tiled(J4: jax.Array, Lsite: jax.Array, N: int, *,
                       row_block: int = 0) -> jax.Array:
     """[N, N] DI via DENSE (row-block x col-block) tiles — no gathers.
@@ -506,7 +526,7 @@ def di_score(mJ: jax.Array, C: jax.Array, q: int,
         # di_score_bm_tiled); GDCA_DI_TILED=0 reverts to the chunked
         # gathered path for A/B measurement
         if os.environ.get("GDCA_DI_TILED", "1").lower() not in (
-                "0", "false", "no"):
+                "0", "false", "no") and _tiled_lane_gate(N, pair_chunk):
             return di_score_bm_tiled(J4, Lsite, N)
         di = di_pairs_bm_gathered(J4, Lsite, iu, ju,
                                   pair_chunk=pair_chunk)

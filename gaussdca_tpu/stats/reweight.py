@@ -70,6 +70,24 @@ def auto_theta(D: jax.Array, N: int, dtype=jnp.float64) -> jax.Array:
     return jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
 
 
+def auto_theta_closed_form(Z: jax.Array, q: int, Mt, Nt,
+                           dtype=jnp.float64) -> jax.Array:
+    """Resolved auto-theta via the single-pass histogram closed form.
+
+    The ONE theta formula shared by the dense (``compute_weights``) and
+    streaming (``compute_weights_streaming``) weight paths — exact in
+    f64 and bitwise-consistent between them (the pairwise
+    ``mean_fraction_identity``/``auto_theta`` pair above is kept as the
+    independent cross-check the tests compare against). ``Mt``/``Nt``
+    are the TRUE sequence/position counts (Python ints or traced
+    scalars): padding rows/columns contribute no matches, so only the
+    pair count and the per-row self-match (= Nt) appear here.
+    """
+    total = (total_matches_closed_form(Z, q, dtype) - Mt * Nt) / 2.0
+    mfi = total / (Nt * (Mt * (Mt - 1) / 2.0))
+    return jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
+
+
 def weights_from_matches(D: jax.Array, N, theta: jax.Array,
                          dtype=jnp.float64,
                          n_pad: int = None) -> Tuple[jax.Array, jax.Array]:
@@ -124,13 +142,8 @@ def compute_weights(
             raise ValueError(f"invalid theta: {theta}")
         Mt = (jnp.asarray(m_true, dtype) if m_true is not None
               else jnp.asarray(M, dtype))
-        # histogram closed form (see total_matches_closed_form): exact in
-        # f64 and bitwise-consistent with the streaming path; q=None
-        # scans the full 1..31 state range (absent states count 0)
-        total = (total_matches_closed_form(Z, q or 31, dtype)
-                 - Mt * Nt) / 2.0
-        mfi = total / (Nt * (Mt * (Mt - 1) / 2.0))
-        th = jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
+        # q=None scans the full 1..31 state range (absent states count 0)
+        th = auto_theta_closed_form(Z, q or 31, Mt, Nt, dtype)
     else:
         th = jnp.asarray(theta, dtype)
     W, Meff = weights_from_matches(counts, Nt, th, dtype, n_pad=Np)
@@ -190,11 +203,7 @@ def compute_weights_streaming(
     if isinstance(theta, str):
         if theta != "auto":
             raise ValueError(f"invalid theta: {theta}")
-        # padding rows/columns contribute no matches; only the pair count
-        # and the per-row self-match (= Nt) change
-        total = (total_matches_closed_form(Z, q, dtype) - Mt * Nt) / 2.0
-        mfi = total / (Nt * (Mt * (Mt - 1) / 2.0))
-        th = jnp.minimum(jnp.asarray(0.5, dtype), AUTO_THETA_COEFF / mfi)
+        th = auto_theta_closed_form(Z, q, Mt, Nt, dtype)
     else:
         th = jnp.asarray(theta, dtype)
     thresh = jnp.floor(th.astype(dtype) * Nt)

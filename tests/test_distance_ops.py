@@ -334,3 +334,19 @@ def test_streaming_weights_asym_kernel(theta):
     np.testing.assert_allclose(np.asarray(W1), np.asarray(W0), rtol=1e-12)
     np.testing.assert_allclose(float(Meff1), float(Meff0), rtol=1e-12)
     np.testing.assert_allclose(float(th1), float(th0), rtol=1e-12)
+
+
+def test_match_counts_auto_plan_wide_alignment():
+    """tile_m=0 (the default) must consult _plan_tiles: at Np=2048/q=21
+    the full-unroll one-hot temporaries of the old fixed tile=256 would
+    blow the 16 MB scoped-VMEM budget — the auto plan drops to the
+    rolled loop (unroll=False) with a wider tile and stays exact."""
+    from gaussdca_tpu.ops.distance import _plan_tiles
+
+    tile, unroll = _plan_tiles(2048, 21)
+    assert not unroll  # the plan must leave full unroll at this width
+    rng = np.random.default_rng(7)
+    Z = jnp.asarray(rng.integers(1, 22, size=(12, 2048), dtype=np.int8))
+    want = np.asarray(reweight.match_counts(Z))
+    got = np.asarray(distance.match_counts_pallas(Z, 21, interpret=True))
+    np.testing.assert_array_equal(got, want)

@@ -332,3 +332,25 @@ def test_di_tiled_row_block_plan(monkeypatch):
 
     monkeypatch.setenv("GDCA_DI_RB", "192")
     assert _plan_row_block(1000) == 192   # integer override wins
+
+
+def test_tiled_lane_gate(monkeypatch):
+    """The dense-tile DI default must keep the gathered path's memory
+    bound: once the planner's capped tile count pushes RB^2 past
+    max(pair_chunk, 16384) lanes per tile, di_score falls back to the
+    chunked gathered path. An explicit GDCA_DI_RB integer override
+    bypasses the gate (the caller chose the lane batch)."""
+    from gaussdca_tpu.score.di import _tiled_lane_gate
+
+    monkeypatch.delenv("GDCA_DI_RB", raising=False)
+    assert _tiled_lane_gate(1000, 65536)       # RB=128 -> 16384 lanes
+    assert _tiled_lane_gate(2048, 65536)       # RB=256 -> 65536 lanes
+    assert not _tiled_lane_gate(2049, 65536)   # RB=512 -> 262144 lanes
+    assert not _tiled_lane_gate(4096, 65536)
+    # shrinking pair_chunk below the bm core's 16384 minimum never
+    # disables RB=128 tiles
+    assert _tiled_lane_gate(1000, 1024)
+    assert not _tiled_lane_gate(1200, 16384)   # RB=256 over a small chunk
+
+    monkeypatch.setenv("GDCA_DI_RB", "512")
+    assert _tiled_lane_gate(2049, 65536)       # explicit override wins
