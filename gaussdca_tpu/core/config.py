@@ -9,6 +9,7 @@ reference — a single-process CPU package — has no analog for.
 from __future__ import annotations
 
 import dataclasses
+import numbers
 import os
 from typing import Any, Optional, Union
 
@@ -18,7 +19,14 @@ _VALID_SCORES = ("frob", "DI")
 
 
 def _is_real(x: Any) -> bool:
-    return isinstance(x, (int, float)) and not isinstance(x, bool)
+    # numbers.Real admits numpy scalars (np.float32(0.2) from a
+    # parameter sweep is a valid pseudocount; plain isinstance against
+    # (int, float) rejects it with a confusing in-range error)
+    return isinstance(x, numbers.Real) and not isinstance(x, bool)
+
+
+def _is_int(x: Any) -> bool:
+    return isinstance(x, numbers.Integral) and not isinstance(x, bool)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,7 +117,7 @@ class GDCAConfig:
             raise ValueError(
                 f"invalid score value: {self.score} "
                 "(must be either 'DI' or 'frob')")
-        if not (isinstance(self.min_separation, int)
+        if not (_is_int(self.min_separation)
                 and self.min_separation >= 1):
             raise ValueError(
                 f"invalid min_separation value: {self.min_separation} "

@@ -24,7 +24,6 @@ downstream of dedup.
 from __future__ import annotations
 
 import dataclasses
-import gzip
 import os
 from typing import List, Sequence, Tuple
 
@@ -78,38 +77,77 @@ class MSA:
         return self.tokens.shape[1]
 
 
+# Line-edge trim set: every byte <= 0x20, exactly like the native
+# parser's `(unsigned char)c <= ' '` edge strip — str.strip() would miss
+# control bytes like \x01, making the two parsers disagree on width.
+_EDGE_BYTES = bytes(range(0x21))
+
+
+def _read_bytes(path: str) -> bytes:
+    """The whole (decompressed) file as bytes, with zlib's tolerant
+    gzip semantics: concatenated members are all decoded, trailing
+    bytes that are not a gzip member are ignored (Python's ``gzip``
+    module raises BadGzipFile there — the native parser's zlib path
+    accepts such files, and the two parsers must agree), a truncated
+    member is an error."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if not raw.startswith(b"\x1f\x8b"):
+        return raw
+    import zlib
+
+    out: List[bytes] = []
+    pos = 0
+    while raw[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(raw[pos:]))
+            out.append(d.flush())
+        except zlib.error as e:
+            raise ValueError(f"error reading {path}: {e}")
+        if not d.eof:
+            raise ValueError(
+                f"error reading {path}: truncated gzip member")
+        unused = len(d.unused_data)
+        if unused == 0:
+            break
+        pos = len(raw) - unused
+    return b"".join(out)
+
+
 def _read_records(path: str) -> List[Tuple[str, bytes]]:
-    opener = gzip.open if _is_gzip(path) else open
+    """FASTA records as (header, sequence-bytes), parsed in BYTES mode.
+
+    Byte-for-byte the native parser's line semantics: lines are edge-
+    trimmed of bytes <= 0x20, arbitrary non-ASCII sequence bytes are
+    legal (they tokenize to the gap state downstream), and headers
+    decode as UTF-8 with replacement — text-mode reading would instead
+    raise UnicodeDecodeError on bytes the native parser accepts,
+    breaking the cross-validated-parity contract.
+    """
     records: List[Tuple[str, bytes]] = []
     header = None
-    chunks: List[str] = []
-    with opener(path, "rt") as fh:
-        for line in fh:
-            line = line.strip()
-            if not line:
-                continue
-            if line.startswith(">"):
-                if header is not None:
-                    records.append((header, "".join(chunks).encode("ascii")))
-                header = line[1:]
-                chunks = []
-            else:
-                if header is None:
-                    raise ValueError(
-                        f"invalid FASTA file {path}: sequence data before "
-                        "the first header")
-                chunks.append(line)
-        if header is not None:
-            records.append((header, "".join(chunks).encode("ascii")))
+    chunks: List[bytes] = []
+    for line in _read_bytes(path).split(b"\n"):
+        line = line.strip(_EDGE_BYTES)
+        if not line:
+            continue
+        if line.startswith(b">"):
+            if header is not None:
+                records.append((header, b"".join(chunks)))
+            header = line[1:].decode("utf-8", "replace")
+            chunks = []
+        else:
+            if header is None:
+                raise ValueError(
+                    f"invalid FASTA file {path}: sequence data before "
+                    "the first header")
+            chunks.append(line)
+    if header is not None:
+        records.append((header, b"".join(chunks)))
     if not records:
         raise ValueError(f"invalid FASTA file {path}: no sequences found")
     return records
-
-
-def _is_gzip(path: str) -> bool:
-    with open(path, "rb") as fh:
-        magic = fh.read(2)
-    return magic == b"\x1f\x8b"
 
 
 def read_fasta_alignment(path: str, max_gap_fraction: float, *,

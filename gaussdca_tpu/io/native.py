@@ -56,14 +56,16 @@ def _so_path() -> Optional[str]:
     """Locate or build the shared library; None if unavailable."""
     if not os.path.exists(_SRC):
         return None
-    cand = os.path.join(os.path.dirname(_SRC), _SO_NAME)
-    if os.path.exists(cand) and os.path.getmtime(cand) >= \
-            os.path.getmtime(_SRC):
-        return cand
-    # build into the source dir if writable, else a per-user cache
-    targets = [cand]
+    # build into the source dir if writable, else a per-user cache; an
+    # existing fresh .so at EITHER location short-circuits the build
+    # (a read-only source dir must not cost two g++ runs per process)
     cache = os.path.join(os.path.expanduser("~"), ".cache", "gaussdca_tpu")
-    targets.append(os.path.join(cache, _SO_NAME))
+    targets = [os.path.join(os.path.dirname(_SRC), _SO_NAME),
+               os.path.join(cache, _SO_NAME)]
+    src_mtime = os.path.getmtime(_SRC)
+    for cand in targets:
+        if os.path.exists(cand) and os.path.getmtime(cand) >= src_mtime:
+            return cand
     for out in targets:
         try:
             os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -130,7 +132,9 @@ def parse_fasta(path: str, max_gap_fraction: float
     lib = _load()
     if lib is None:
         return None
-    h = lib.gdca_parse(path.encode(), float(max_gap_fraction))
+    # fsencode, not str.encode: surrogate-escaped (non-UTF-8) filesystem
+    # paths must reach the C side as their original bytes
+    h = lib.gdca_parse(os.fsencode(path), float(max_gap_fraction))
     if not h:
         return None
     try:
@@ -147,11 +151,13 @@ def parse_fasta(path: str, max_gap_fraction: float
         if hasattr(lib, "gdca_msa_headers_blob"):
             blob = lib.gdca_msa_headers_blob(h)
             if blob is not None:
-                parts = blob.decode().split("\n")
+                # "replace", matching the NumPy parser: arbitrary header
+                # bytes must not raise where the other parser succeeds
+                parts = blob.decode("utf-8", "replace").split("\n")
                 if len(parts) == M + 1 and parts[-1] == "":
                     headers = parts[:-1]
         if headers is None:   # NUL-truncated blob or legacy .so
-            headers = [lib.gdca_msa_header(h, i).decode()
+            headers = [lib.gdca_msa_header(h, i).decode("utf-8", "replace")
                        for i in range(M)]
         q = int(lib.gdca_msa_q(h))
         dropped = int(lib.gdca_msa_dropped(h))

@@ -107,7 +107,16 @@ bool inflate_libdeflate(const std::vector<char>& in,
   if (guess < sz) guess = sz * 4;
   libdeflate_decompressor* d = libdeflate_alloc_decompressor();
   if (!d) return false;
-  out->resize(guess);
+  // resize failures must report false, not throw: the ISIZE guess is
+  // untrusted input (trailing garbage reads as a ~4 GB size), and the
+  // whole-buffer path's contract is "any failure -> zlib fallback" —
+  // a bad_alloc escaping here would fail files zlib parses fine
+  try {
+    out->resize(guess);
+  } catch (const std::bad_alloc&) {
+    libdeflate_free_decompressor(d);
+    return false;
+  }
   size_t in_pos = 0, out_pos = 0;
   bool ok = true;
   while (in_pos < sz) {
@@ -116,7 +125,12 @@ bool inflate_libdeflate(const std::vector<char>& in,
         d, in.data() + in_pos, sz - in_pos, out->data() + out_pos,
         out->size() - out_pos, &in_used, &out_used);
     if (r == LIBDEFLATE_INSUFFICIENT_SPACE) {
-      out->resize(out->size() * 2 + (1 << 20));
+      try {
+        out->resize(out->size() * 2 + (1 << 20));
+      } catch (const std::bad_alloc&) {
+        ok = false;
+        break;
+      }
       continue;
     }
     if (r != LIBDEFLATE_SUCCESS) {  // bad data / trailing garbage:

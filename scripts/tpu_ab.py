@@ -61,6 +61,11 @@ def leg_distance(impl, M, N, q, reps, k, tile):
             return distance.row_stats_asym_pallas(Zi, th, q, k=k,
                                                   tile_b=tile)
     else:
+        if tile == 0:
+            # record the tile the auto plan actually runs (the decide
+            # table must show whether auto already picked 384)
+            tile, _ = distance._plan_tiles(N, q)
+
         def run(Zi):
             rs, _ = distance.row_stats_sym_pallas(Zi, thresh, q, tile_m=tile)
             return float(np.asarray(rs[0]))

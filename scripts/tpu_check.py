@@ -45,14 +45,45 @@ def load_golden(path):
 
 
 def main():
+    # Probe the backend in a SUBPROCESS first (like bench.py): the axon
+    # plugin's first in-process backend init blocks FOREVER when the
+    # TPU tunnel is down, which would hang this script before the
+    # no-TPU gate below could fire.
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=180, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
+            OSError) as e:
+        print(f"backend probe failed ({type(e).__name__}) — TPU tunnel "
+              "down?")
+        if os.environ.get("GDCA_TPUCHECK_ALLOW_CPU") != "1":
+            print("FAIL: no TPU reachable — this is the on-chip parity "
+                  "check (set GDCA_TPUCHECK_ALLOW_CPU=1 to run the f32 "
+                  "envelope on CPU deliberately)")
+            return 2
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     import jax
     import gaussdca_tpu as g
 
     backend = jax.default_backend()
     print(f"backend: {backend}")
     if backend not in ("tpu", "axon"):
+        # This script IS the on-chip check: succeeding on CPU would let
+        # the battery (scripts/tpu_session.sh) permanently mark the
+        # golden leg complete (rc=0) without ever touching the chip.
+        # GDCA_TPUCHECK_ALLOW_CPU=1 is the explicit local-debug opt-in.
+        if os.environ.get("GDCA_TPUCHECK_ALLOW_CPU") != "1":
+            print("FAIL: no TPU attached — this is the on-chip parity "
+                  "check (set GDCA_TPUCHECK_ALLOW_CPU=1 to run the f32 "
+                  "envelope on CPU deliberately)")
+            return 2
         print("WARNING: no TPU attached — checking the same f32 envelope "
-              "on CPU")
+              "on CPU (GDCA_TPUCHECK_ALLOW_CPU=1)")
 
     failures = 0
     for name, fa, gold, kw, tol in CASES:
@@ -69,6 +100,14 @@ def main():
         overlaps = {K: len(set(order_w[:K]) & set(order_g[:K]))
                     for K in (10, 100, len(ks))}
         rank_ok = all(v == K for K, v in overlaps.items())
+        if backend not in ("tpu", "axon") and not rank_ok:
+            # CPU debug opt-in runs f32 through the MONITORED jnp DI
+            # path (the chip's batch-minor core is gated on a TPU
+            # backend), whose f32 envelope is slightly wider — a
+            # boundary-tie flip inside the abs tolerance is expected
+            # noise there, not a regression; the 100%-overlap contract
+            # is the CHIP gate (100/100 measured, PERFORMANCE.md)
+            rank_ok = all(v >= K - 1 for K, v in overlaps.items())
         ok = maxerr <= tol and rank_ok
         failures += 0 if ok else 1
         print(f"[{name}] max abs err {maxerr:.2e} (tol {tol:.0e}); "

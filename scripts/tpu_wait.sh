@@ -5,6 +5,7 @@
 # battery skips legs already completed (rc=0), so a flapping tunnel
 # accumulates results across windows; exit once every leg is complete.
 set -u
+cd "$(dirname "$0")/.."   # the battery is invoked by repo-relative path
 OUT="${1:-/tmp/tpu_session_r3}"
 PROBE='import jax; d=jax.devices(); assert d[0].platform!="cpu", d; print(d[0].platform)'
 for i in $(seq 1 200); do

@@ -147,3 +147,16 @@ def test_singular_covariance_raises_not_nan():
                         score="DI")
     with pytest.raises(ArithmeticError, match="positive definite"):
         api.gdca_from_msa(msa, cfg_di)
+
+
+def test_numpy_scalar_config_values():
+    """np.float32/np.int64 values (a np.linspace parameter sweep) are
+    valid reals for pseudocount/theta/max_gap_fraction/min_separation."""
+    import numpy as np
+
+    cfg = GDCAConfig(pseudocount=np.float32(0.2), theta=np.float64(0.3),
+                     max_gap_fraction=np.float32(0.8),
+                     min_separation=np.int64(4))
+    cfg.validate()
+    with pytest.raises(ValueError, match="pseudocount"):
+        GDCAConfig(pseudocount=np.float32(1.5)).validate()

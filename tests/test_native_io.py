@@ -166,3 +166,33 @@ def test_differential_fuzz(tmp_path):
             assert b[0] == "err", f"trial {trial}: native rejected, " \
                                   f"numpy accepted\n{text!r}"
     assert n_agree >= 5  # the generator produces some valid files
+
+
+def test_parity_nonascii_and_control_bytes(tmp_path):
+    """Arbitrary bytes must tokenize identically in both parsers: a
+    Latin-1 byte in a sequence maps to the gap state (21), a control
+    byte at a line EDGE is trimmed (native trims every byte <= 0x20 —
+    the old text-mode fallback either raised UnicodeDecodeError or kept
+    \\x01 and reported a different width), and non-UTF-8 header bytes
+    decode with replacement instead of raising."""
+    p = tmp_path / "bytes.fasta"
+    p.write_bytes(b">s1 caf\xe9\n"
+                  b"\x01ACDEF\xe9KLMN\x02\n"   # edge \x01/\x02 trimmed
+                  b">s2\n"
+                  b"ACDEFGHKLM\n")             # same width: 10
+    a = fasta.read_fasta_alignment(str(p), 0.9, use_native=True)
+    b = fasta.read_fasta_alignment(str(p), 0.9, use_native=False)
+    np.testing.assert_array_equal(a.tokens, b.tokens)
+    assert a.headers == b.headers
+    assert a.N == 10
+    assert a.tokens[0, 5] == 21  # the \xe9 byte -> gap state
+
+
+def test_parity_trailing_garbage_gzip(tmp_path):
+    """A valid gzip member with trailing junk: the libdeflate fast path
+    must fall back to zlib's tolerant reader (incl. when the junk makes
+    the ISIZE guess absurd), matching the NumPy parser's gzip module."""
+    p = tmp_path / "junk.fasta.gz"
+    body = gzip.compress(b">s1\nACDEF\n>s2\nGHKLM\n")
+    p.write_bytes(body + b"\xff\xff\xff\xff")
+    _parity(str(p), 0.9)
