@@ -196,3 +196,46 @@ def test_parity_trailing_garbage_gzip(tmp_path):
     body = gzip.compress(b">s1\nACDEF\n>s2\nGHKLM\n")
     p.write_bytes(body + b"\xff\xff\xff\xff")
     _parity(str(p), 0.9)
+
+
+def test_differential_fuzz_arbitrary_bytes(tmp_path):
+    """Full-byte-range fuzz (headers and sequences drawn from 1..255):
+    both parsers must agree exactly on success or both reject — pins
+    the bytes-mode parity contract (edge trim of bytes <= 0x20, inserts
+    removed, everything else -> states via the shared LUT)."""
+    rng = np.random.default_rng(1)
+    n_agree = 0
+    for trial in range(40):
+        width = int(rng.integers(3, 12))
+        parts = []
+        for _ in range(int(rng.integers(1, 5))):
+            hdr = bytes(rng.integers(0x21, 256, size=int(
+                rng.integers(0, 6))).astype(np.uint8).tolist())
+            parts.append(b">" + hdr)
+            w = width
+            if rng.random() < 0.15:               # corrupt: ragged
+                w = max(1, width + int(rng.integers(-2, 3)))
+            seq = bytes(rng.integers(1, 256, size=w).astype(
+                np.uint8).tolist())
+            # keep the record structure: no embedded newlines/headers
+            seq = seq.replace(b"\n", b"A").replace(b">", b"B")
+            parts.append(seq)
+        data = b"\n".join(parts) + (b"\n" if rng.random() < 0.5 else b"")
+        p = tmp_path / f"bfuzz{trial}.fasta"
+        p.write_bytes(data)
+        mgf = float(rng.choice([0.5, 0.9, 1.0]))
+
+        def run(un):
+            try:
+                m = fasta.read_fasta_alignment(str(p), mgf, use_native=un)
+                return ("ok", m.tokens.tobytes(), tuple(m.headers), m.q,
+                        m.n_dropped_gaps)
+            except ValueError:
+                return ("err",)
+
+        a, b = run(True), run(False)
+        assert a == b or (a[0] == "err" and b[0] == "err"), \
+            f"trial {trial}: native={a[0]} numpy={b[0]}\n{data!r}"
+        if a[0] == "ok":
+            n_agree += 1
+    assert n_agree >= 5
