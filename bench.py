@@ -350,10 +350,13 @@ def pin_floors(samples: list) -> dict:
     file so the gate's tolerance reflects the measured run-to-run
     variance instead of a blanket constant (round-2 verdict: single-run
     pins could silently absorb 10-15% drift)."""
-    keys = samples[0].keys()
+    keys = sorted(set().union(*(s.keys() for s in samples)))
     out = {}
     for k in keys:
-        xs = np.asarray([s[k] for s in samples], float)
+        xs = np.asarray([s[k] for s in samples if k in s], float)
+        if len(xs) < len(samples):
+            log(f"[bench --update-floor] metric '{k}' measured in only "
+                f"{len(xs)}/{len(samples)} passes — pinning from those")
         med = float(np.median(xs))
         spread = float(np.max(np.abs(xs - med)) / med) if med else 0.0
         out[k] = {"value": round(med, 4), "spread": round(spread, 4)}

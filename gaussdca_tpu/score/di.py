@@ -169,8 +169,15 @@ def _bm_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
     return acc
 
 
+# Fixed Newton-Schulz iteration count of the production batch-minor
+# core. utils/flops.py imports this for the per-family TFLOP accounting
+# — change it HERE only (round-3 verdict: a drifted copy in flops.py
+# made every DI TFLOP/s log systematically wrong).
+BM_NS_ITERS = 20
+
+
 def _di_pairs_bm(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
-                 iters: int = 20) -> jax.Array:
+                 iters: int = BM_NS_ITERS) -> jax.Array:
     """Batch-minor DI core on batch-MAJOR inputs ([P, s, s] -> [P]).
 
     Thin wrapper over ``_di_pairs_bm_minor``; prefer the minor-layout
@@ -184,7 +191,7 @@ def _di_pairs_bm(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
 
 
 def _di_pairs_bm_minor(J: jax.Array, Li: jax.Array, Lj: jax.Array,
-                       iters: int = 20) -> jax.Array:
+                       iters: int = BM_NS_ITERS) -> jax.Array:
     """Batch-minor DI core: the TPU-optimized twin of ``_di_pairs``.
 
     Inputs [s, s, P] (pair batch on the lane axis). Same math (rho -> G
@@ -196,9 +203,13 @@ def _di_pairs_bm_minor(J: jax.Array, Li: jax.Array, Lj: jax.Array,
     The NS iteration count is FIXED (convergence at ~8 iters measured
     on golden-scale data; 20 leaves margin for cond(G) ~ 3e4) —
     data-independent runtime, no while_loop. Elimination pivots are
-    clamped at a tiny floor so an under-converged S on a pathological
-    spectrum degrades that pair's score instead of NaN-poisoning the
-    whole matrix through APC. Validated against the golden DI files
+    clamped at 0.1 (true pivots are >= 1 for converged S) so an
+    under-converged S on a pathological spectrum degrades that pair's
+    score instead of NaN-poisoning the whole matrix through APC; the
+    clamp must NOT be a tiny floor (e.g. 1e-20) because the elimination
+    column divides by the pivot — a tiny pivot blows the column up to
+    ~1/clamp and overflows f32 at the next step (see the inline comment
+    and docs/MATH.md). Validated against the golden DI files
     through the force_fallback cross-check and scripts/tpu_check.py.
     """
     s = J.shape[0]
@@ -459,6 +470,52 @@ def di_score_bm_tiled(J4: jax.Array, Lsite: jax.Array, N: int, *,
             S = jax.lax.dynamic_update_slice(S, di, (r0, c0))
     S = S + S.T
     return S[:N, :N]
+
+
+def planned_lane_count(N: int, *, pair_chunk: int = 65536,
+                       bm: bool = True) -> int:
+    """Lanes the production DI path will actually COMPUTE at width N.
+
+    The flop-accounting twin of ``di_score``'s dispatch (utils/flops.py
+    consumes this): the useful pair count is P = N(N-1)/2, but the
+    executed lane count differs per formulation —
+
+    - dense-tile (bm default, when ``_tiled_lane_gate`` passes): the
+      nb(nb+1)/2 tile grid computes RB^2 lanes per tile (diagonal tiles
+      include their discarded i >= j lanes), each tile lane-padded to a
+      multiple of 128 by ``_di_pairs_bm_minor``;
+    - gathered bm (`GDCA_DI_TILED=0` or wide-N gate failure): exact P
+      lanes in balanced chunks, each chunk padded to a multiple of 128;
+    - non-bm fallback (``bm=False``: f64 golden mode, small P, CPU):
+      exact P lanes in balanced chunks (``di_pairs_flat``) — the chunk
+      zero-padding is counted like the gathered path's.
+
+    Honors the same env knobs as the dispatch (GDCA_DI_TILED,
+    GDCA_DI_RB) at CALL time, so accounting follows any A/B override.
+    """
+    import os
+
+    def _pad128(x: int) -> int:
+        return -(-x // 128) * 128
+
+    P = N * (N - 1) // 2
+    tiled = (bm and P >= _BM_MIN_PAIRS
+             and os.environ.get("GDCA_DI_TILED", "1").lower()
+             not in ("0", "false", "no")
+             and _tiled_lane_gate(N, pair_chunk))
+    if tiled:
+        RB = _plan_row_block(N)
+        nb = -(-N // RB)
+        return (nb * (nb + 1) // 2) * _pad128(RB * RB)
+    from gaussdca_tpu.utils.chunked import balanced_chunk
+    chunk = P if P <= pair_chunk else balanced_chunk(P, pair_chunk,
+                                                     align=128)
+    if not bm:
+        # di_pairs_flat zero-pads P to a whole number of chunks; the
+        # gemm scaffold has no extra lane alignment
+        return -(-P // chunk) * chunk
+    full, tail = divmod(P, chunk)
+    return full * _pad128(chunk) + (_pad128(tail) if tail else 0)
 
 
 def di_pairs_flat(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,

@@ -3,13 +3,18 @@
 The per-stage wall/TFLOP counters the reference lacks (SURVEY.md
 section 5): costs are closed-form in (M, N, q), so the batch log can
 report achieved TFLOP/s per family without any device instrumentation.
+
+The DI constants are NOT defined here: the Newton-Schulz iteration
+count and the executed-lane planner are imported from score/di.py, the
+module that owns the production dispatch — two rounds in a row a copy
+here drifted from the code (iters 14 vs 20; tiled lanes uncounted) and
+silently skewed every per-family DI TFLOP/s log.
+tests/test_cli.py::test_di_flops_track_scoring_code pins the coupling.
 """
 
 from __future__ import annotations
 
 from typing import Dict
-
-DI_SQRTM_ITERS = 14  # typical Newton-Schulz iterations at f32 tolerance
 
 
 def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
@@ -24,6 +29,16 @@ def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
     stats/reweight.total_matches_closed_form), not a second distance
     pass. The solve counts potrf+potri-equivalent (Ns)^3 plus
     4*(Ns)^3 per Newton refinement.
+
+    DI counts the PRODUCTION batch-minor path: per executed lane, 3
+    lead matmuls (rho = Li^T J Lj, G = rho rho^T), 3 per Newton-Schulz
+    iteration (BM_NS_ITERS from score/di.py), and ~1 matmul-equivalent
+    for the elimination logdet — times the lane count the dispatch
+    will actually compute at this N (``di.planned_lane_count``: the
+    dense-tile formulation executes up to ~2x the useful P = N(N-1)/2
+    lanes at small N; the gathered path executes ~P plus chunk/lane
+    alignment padding). Both follow the live GDCA_DI_TILED/GDCA_DI_RB
+    knobs, so A/B runs are accounted under the plan they measured.
     """
     s = q - 1
     Ns = N * s
@@ -33,12 +48,12 @@ def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
         "frequencies": 2.0 * M * Ns * Ns + 2.0 * M * Ns,
         "solve": (1.0 + 4.0 * solve_refine_iters) * Ns ** 3,
     }
-    P = N * (N - 1) / 2
     if score == "DI":
-        # per pair: 2 gauge matmuls + ~DI_SQRTM_ITERS Newton-Schulz steps
-        # (3 matmuls each) + a Cholesky logdet, all s x s
-        out["score"] = P * (2 + 3 * DI_SQRTM_ITERS + 1 / 3) * 2.0 * s ** 3
+        from gaussdca_tpu.score.di import BM_NS_ITERS, planned_lane_count
+        lanes = planned_lane_count(N)
+        out["score"] = lanes * (3 + 3 * BM_NS_ITERS + 1) * 2.0 * s ** 3
     else:
+        P = N * (N - 1) / 2
         out["score"] = P * 4.0 * s * s
     out["total"] = sum(out.values())
     return out
