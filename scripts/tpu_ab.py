@@ -128,13 +128,71 @@ def leg_di_n1000(M, N, q, reps):
             "backend": jax.default_backend()}
 
 
+def leg_di_wide(N, q, reps, impl):
+    """Wide-N DI formulation A/B: mapped (lax.map-streamed dense tiles,
+    the default past the lane gate at N >= ~2049) vs gathered (chunked
+    per-lane gathers — the round-3 fallback the mapped path replaced).
+
+    Times the score-stage FORMULATION directly on synthetic coupling
+    blocks (no e2e solve: at production q=21 the [Ns, Ns] coupling
+    matrix alone is ~10 GB at N=2500 — wide-N e2e is the storage-
+    sharded path's job; q=9 keeps the single-chip A/B honest at 1.6 GB
+    while the gate, tile grid, and strip plan are q-independent).
+    Distinct inputs per rep via an on-device scale (the axon runtime
+    caches identical compute requests; host re-transfer of GB-scale
+    inputs would swamp the timing).
+    """
+    import jax
+    import jax.numpy as jnp
+    from gaussdca_tpu.score import di
+
+    s = q - 1
+    rng = np.random.default_rng(7)
+    J4 = rng.standard_normal((N, s, N, s)).astype(np.float32) * 0.05
+    J4 = 0.5 * (J4 + J4.transpose(2, 3, 0, 1))
+    L = np.tril(rng.standard_normal((N, s, s)).astype(np.float32) * 0.1)
+    idx = np.arange(s)
+    L[:, idx, idx] = np.abs(L[:, idx, idx]) + 1.0
+    J4d = jnp.asarray(J4)
+    Ld = jnp.asarray(L)
+    iu, ju = np.triu_indices(N, k=1)
+
+    def score(c):
+        Ji = J4d * c          # distinct compute request per rep, on-device
+        if impl == "mapped":
+            S = di.di_score_bm_mapped(Ji, Ld, N)
+            return float(np.asarray(S[0, 1]))
+        dv = di.di_pairs_bm_gathered(Ji, Ld, iu, ju)
+        return float(np.asarray(dv[0]))
+
+    # cross-impl sanity on chip: a broken mapped assembly under real
+    # Mosaic/XLA-TPU lowering must not get silently timed
+    S_m = np.asarray(di.di_score_bm_mapped(J4d, Ld, N))
+    d_g = np.asarray(di.di_pairs_bm_gathered(J4d, Ld, iu, ju))
+    if not np.allclose(S_m[iu, ju], d_g, rtol=1e-4, atol=1e-5):
+        log("[ab] di-wide mapped/gathered DISAGREE on chip — aborting leg")
+        raise SystemExit(9)
+    log(f"[ab] di-wide cross-impl agreement OK (N={N}, q={q})")
+
+    t, times = _times(score, [1.0 + 0.001 * i for i in range(reps + 1)])
+    log(f"[ab] di-wide impl={impl} N={N} q={q}: median={t:.3f}s "
+        f"(all: {[round(x, 3) for x in times]})")
+    lanes = di.planned_lane_count(N) if impl == "mapped" else len(iu)
+    return {"leg": "di-wide", "impl": impl, "N": N, "q": q,
+            "median_s": t, "times": [round(x, 4) for x in times],
+            "lanes": lanes, "backend": jax.default_backend()}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("leg", choices=["dist-square", "dist-asym", "di-n1000",
-                                    "di-n400"])
+                                    "di-n400", "di-wide"])
+    ap.add_argument("--impl", choices=["mapped", "gathered"],
+                    default="mapped", help="di-wide formulation")
     ap.add_argument("--M", type=int, default=None)
     ap.add_argument("--N", type=int, default=None)
-    ap.add_argument("--q", type=int, default=21)
+    ap.add_argument("--q", type=int, default=0, help="0 = per-leg "
+                    "default (21; di-wide uses 9 — see its docstring)")
     ap.add_argument("--k", type=int, default=0, help="asym A-group size "
                     "(0 = auto-plan)")
     ap.add_argument("--tile", type=int, default=0, help="override the "
@@ -150,13 +208,16 @@ def main(argv=None):
 
     if args.leg in ("dist-square", "dist-asym"):
         impl = args.leg.split("-")[1]
-        out = leg_distance(impl, args.M or 32768, args.N or 384, args.q,
-                           args.reps, args.k, args.tile)
+        out = leg_distance(impl, args.M or 32768, args.N or 384,
+                           args.q or 21, args.reps, args.k, args.tile)
     elif args.leg == "di-n1000":
-        out = leg_di_n1000(args.M or 1024, args.N or 1000, args.q,
+        out = leg_di_n1000(args.M or 1024, args.N or 1000, args.q or 21,
                            min(args.reps, 3))
+    elif args.leg == "di-wide":
+        out = leg_di_wide(args.N or 2500, args.q or 9,
+                          min(args.reps, 3), args.impl)
     else:  # di-n400
-        out = leg_di_n1000(args.M or 1024, args.N or 400, args.q,
+        out = leg_di_n1000(args.M or 1024, args.N or 400, args.q or 21,
                            min(args.reps, 3))
     print(json.dumps(out), flush=True)
     return 0

@@ -96,6 +96,25 @@ def main(out):
           "tiled_exact wins at N=400 without losing at N=1000 "
           "(docs/ROADMAP.md item 6). Either way: PERFORMANCE.md entry.")
 
+    # --- wide-N DI: mapped (past-the-gate default) vs gathered --------
+    wide = {}
+    for variant in ("mapped", "gathered"):
+        rc, d = _load(out, f"di2500_{variant}")
+        if d and "median_s" in d:
+            wide[variant] = d
+    if wide:
+        parts = ", ".join(f"{k}={v['median_s']:.3f}s" for k, v in
+                          wide.items())
+        print(f"\nwide-N DI formulation (N=2500, q=9): {parts}")
+        if len(wide) == 2:
+            sp = wide["gathered"]["median_s"] / wide["mapped"]["median_s"]
+            print(f"  mapped is {sp:.2f}x vs gathered -> "
+                  + ("keep mapped as the past-the-gate default"
+                     if sp >= 1.0 else
+                     "mapped LOST: revert _tiled_lane_gate's else-branch "
+                     "to the gathered path and record why in "
+                     "PERFORMANCE.md"))
+
     rc, d = _load(out, "bench_check")
     print(f"\nbench --check: rc={rc}"
           + (f"  parsed: {d.get('metric', '')[:60]}..." if d else ""))
