@@ -300,9 +300,93 @@ def _checked_ranking(S, min_separation: int,
     return R
 
 
+def _bucket_pad(tokens: np.ndarray, cfg: GDCAConfig):
+    """Apply (m_bucket, n_bucket) padding; -> (tokens, m_true, n_true).
+
+    ``m_true`` / ``n_true`` are traced int32 scalars when the axis was
+    padded, else None (so unpadded runs keep the no-masking graph)."""
+    m_true = None
+    n_true = None
+    N_true = tokens.shape[1]
+    if cfg.m_bucket > 0 and tokens.shape[0] % cfg.m_bucket != 0:
+        pad = cfg.m_bucket - tokens.shape[0] % cfg.m_bucket
+        m_true = jnp.asarray(tokens.shape[0], jnp.int32)
+        tokens = np.pad(tokens, ((0, pad), (0, 0)))
+    if cfg.n_bucket > 0 and tokens.shape[1] % cfg.n_bucket != 0:
+        pad = cfg.n_bucket - tokens.shape[1] % cfg.n_bucket
+        n_true = jnp.asarray(N_true, jnp.int32)
+        tokens = np.pad(tokens, ((0, 0), (0, pad)))
+    return tokens, m_true, n_true
+
+
+# trace-time kernel-dispatch env knobs: an AOT executable compiled under
+# one setting must not serve a call made under another (same list the
+# CLI folds into its artifact cache key)
+_TRACE_ENV_KNOBS = ("GDCA_DISTANCE_IMPL", "GDCA_DI_FUSED",
+                    "GDCA_DI_TILED", "GDCA_DI_RB")
+
+
+def _scores_class_key(z_sds, q: int, cfg: GDCAConfig, dtype,
+                      theta_is_auto: bool, has_m_true: bool,
+                      has_n_true: bool):
+    import os
+
+    return ("scores", tuple(z_sds.shape), z_sds.dtype.name, q, cfg.score,
+            theta_is_auto,
+            dtype.name, not cfg.resolve_fallback(), cfg.precision,
+            has_m_true, has_n_true,
+            tuple(os.environ.get(k, "") for k in _TRACE_ENV_KNOBS))
+
+
+def _lower_scores(z_sds, q: int, cfg: GDCAConfig, dtype,
+                  theta_is_auto: bool, has_m_true: bool,
+                  has_n_true: bool):
+    """AOT-compile the single-program pipeline for one shape class."""
+    sds = jax.ShapeDtypeStruct
+    i32 = sds((), jnp.int32)
+    return _scores_jit.lower(
+        z_sds, sds((), dtype), sds((), dtype),
+        q=q, score=cfg.score, theta_is_auto=theta_is_auto,
+        dtype_name=dtype.name, use_pallas=not cfg.resolve_fallback(),
+        m_true=i32 if has_m_true else None,
+        n_true=i32 if has_n_true else None,
+        precision=cfg.precision).compile()
+
+
+def warm_compile(exe_cache, msa: fasta.MSA, cfg: GDCAConfig) -> bool:
+    """Schedule background AOT compilation of ``msa``'s shape class.
+
+    Returns True if the class is warmable (single-chip, below the
+    split-pipeline threshold, valid q) — the executable then lands in
+    ``exe_cache`` while the caller's current family computes, and
+    ``gdca_from_msa(..., exe_cache=...)`` calls it directly. Mesh and
+    split-pipeline dispatches are not covered (their programs are cached
+    by ``cached_scores_fn`` / jit respectively); invalid alignments are
+    skipped silently — the pipeline itself raises the real error.
+    """
+    if cfg.remove_dups:
+        msa = fasta.remove_duplicate_sequences(msa)
+    q = msa.q
+    if not (2 <= q <= MAX_Q):
+        return False
+    tokens, m_true, n_true = _bucket_pad(msa.tokens, cfg)
+    if tokens.shape[1] * (q - 1) >= _SPLIT_PIPELINE_MIN_NS:
+        return False
+    dtype = cfg.resolve_dtype()
+    theta_is_auto = cfg.auto_theta
+    z_sds = jax.ShapeDtypeStruct(tokens.shape, tokens.dtype)
+    key = _scores_class_key(z_sds, q, cfg, dtype, theta_is_auto,
+                            m_true is not None, n_true is not None)
+    exe_cache.warm(key, functools.partial(
+        _lower_scores, z_sds, q, cfg, dtype, theta_is_auto,
+        m_true is not None, n_true is not None))
+    return True
+
+
 def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
                   top_k: Optional[int] = None,
-                  mesh: Optional[Any] = None) -> GDCAResult:
+                  mesh: Optional[Any] = None,
+                  exe_cache=None) -> GDCAResult:
     """Run the device pipeline + ranking on an already-ingested MSA.
 
     ``top_k``: return only the k best pairs, selected on device
@@ -329,18 +413,8 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
             f"alignment uses only {q} symbol(s); at least 2 are required")
 
     dtype = cfg.resolve_dtype()
-    tokens = msa.tokens
-    N_true = tokens.shape[1]
-    m_true = None
-    n_true = None
-    if cfg.m_bucket > 0 and tokens.shape[0] % cfg.m_bucket != 0:
-        pad = cfg.m_bucket - tokens.shape[0] % cfg.m_bucket
-        m_true = jnp.asarray(tokens.shape[0], jnp.int32)
-        tokens = np.pad(tokens, ((0, pad), (0, 0)))
-    if cfg.n_bucket > 0 and tokens.shape[1] % cfg.n_bucket != 0:
-        pad = cfg.n_bucket - tokens.shape[1] % cfg.n_bucket
-        n_true = jnp.asarray(N_true, jnp.int32)
-        tokens = np.pad(tokens, ((0, 0), (0, pad)))
+    N_true = msa.tokens.shape[1]
+    tokens, m_true, n_true = _bucket_pad(msa.tokens, cfg)
     theta_is_auto = cfg.auto_theta
     theta_value = 0.0 if theta_is_auto else float(cfg.theta)
     if mesh is not None:
@@ -376,6 +450,20 @@ def gdca_from_msa(msa: fasta.MSA, cfg: GDCAConfig,
         S = _solve_score_jit(C, q=q, score=cfg.score, n_true=n_true,
                              precision=cfg.precision,
                              use_pallas=not cfg.resolve_fallback())
+    elif exe_cache is not None:
+        # batch mode with --warm-compile: call the AOT executable of
+        # this shape class directly (compiled in the background while
+        # the previous family ran — utils/exe_cache.py). Same program
+        # jit would dispatch; the key pins the trace-time env knobs.
+        z_sds = jax.ShapeDtypeStruct(tokens.shape, tokens.dtype)
+        key = _scores_class_key(z_sds, q, cfg, dtype,
+                                theta_is_auto, m_true is not None,
+                                n_true is not None)
+        compiled = exe_cache.get(key, functools.partial(
+            _lower_scores, z_sds, q, cfg, dtype, theta_is_auto,
+            m_true is not None, n_true is not None))
+        S, th, meff = compiled(Z, pc_a, th_a, m_true=m_true,
+                               n_true=n_true)
     else:
         S, th, meff = _scores_jit(Z, pc_a, th_a, score=cfg.score, **kw)
     if n_true is not None:

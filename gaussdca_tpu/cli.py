@@ -82,6 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "~/.cache/gaussdca_tpu/xla, 'none' disables")
     p.add_argument("--no-prefetch", action="store_true",
                    help="disable threaded ingest prefetch")
+    p.add_argument("--warm-compile", action="store_true",
+                   help="AOT-compile the next family's shape class on a "
+                        "background thread while the current family "
+                        "computes, and run each family through the "
+                        "in-process executable cache (hides the "
+                        "per-class executable load; single-chip batch "
+                        "mode only, needs prefetch; results are "
+                        "identical — opt-in pending on-chip "
+                        "measurement, see PERFORMANCE.md)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the batch here")
     p.add_argument("--mesh", default=None, metavar="DPxTP|auto",
@@ -197,7 +206,8 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
                cache_key: str = None, mesh=None, emit: bool = True,
                cache_read: bool = True,
                cache_only: bool = False,
-               emit_errors_fatal: bool = True) -> Optional[str]:
+               emit_errors_fatal: bool = True,
+               exe_cache=None) -> Optional[str]:
     """Process one family; returns the output path.
 
     ``msa_future``: optional concurrent.futures.Future holding the
@@ -283,7 +293,8 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
         else:
             msa = fasta.read_fasta_alignment(path, cfg.max_gap_fraction)
     with log.stage("pipeline"):
-        result = api.gdca_from_msa(msa, cfg, top_k=top_k, mesh=mesh)
+        result = api.gdca_from_msa(msa, cfg, top_k=top_k, mesh=mesh,
+                                   exe_cache=exe_cache)
     if not emit:
         return None
     try:
@@ -474,6 +485,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     pool = None if args.no_prefetch else \
         concurrent.futures.ThreadPoolExecutor(max_workers=1)
 
+    # --warm-compile: in-process executable cache + background AOT of
+    # upcoming shape classes (utils/exe_cache.py). Single-chip batch
+    # mode only: the mesh path caches its programs via cached_scores_fn
+    # already, and warming needs the prefetch pool to learn the next
+    # family's shape.
+    exe_cache = None
+    if args.warm_compile and mesh_obj is None and pool is not None:
+        from gaussdca_tpu.utils.exe_cache import ExecutableCache
+        exe_cache = ExecutableCache()
+
     cache_keys = [None] * len(args.inputs)
 
     # Pod-mesh artifact-cache agreement: a cache hit must skip the
@@ -557,6 +578,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                 pass
         futures[k] = pool.submit(fasta.read_fasta_alignment,
                                  args.inputs[k], cfg.max_gap_fraction)
+        if exe_cache is not None:
+            def _warm_cb(f):
+                # runs on the prefetch thread once the parse lands;
+                # schedules the AOT compile on the cache's own thread.
+                # Warming is an optimization only — parse errors are
+                # raised (and handled) by the consuming run_family
+                try:
+                    from gaussdca_tpu import api as _api
+                    _api.warm_compile(exe_cache, f.result(), cfg)
+                except Exception:
+                    pass
+            futures[k].add_done_callback(_warm_cb)
 
     merge_fh = pod_merge_fh
     if merge_path and merge_fh is None:
@@ -595,7 +628,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                                           mesh=mesh_obj, emit=emit,
                                           cache_read=cache_read,
                                           cache_only=cache_only,
-                                          emit_errors_fatal=emit_fatal)
+                                          emit_errors_fatal=emit_fatal,
+                                          exe_cache=exe_cache)
                 except Exception as e:
                     if pod_mesh and pcnt > 1:
                         raise  # pod: handled below — never retried
@@ -615,7 +649,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                                           mesh=mesh_obj, emit=emit,
                                           cache_read=cache_read,
                                           cache_only=cache_only,
-                                          emit_errors_fatal=emit_fatal)
+                                          emit_errors_fatal=emit_fatal,
+                                          exe_cache=exe_cache)
                 if emit and out_path is None:
                     # non-fatal writer emit failure (pod mode): already
                     # logged by run_family; count it and stay in
@@ -661,6 +696,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             merge_fh.close()
         if pool is not None:
             pool.shutdown(wait=False, cancel_futures=True)
+        if exe_cache is not None:
+            exe_cache.shutdown()
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
     if not args.quiet:

@@ -183,10 +183,85 @@ def leg_di_wide(N, q, reps, impl):
             "lanes": lanes, "backend": jax.default_backend()}
 
 
+def leg_warm_batch(M, N, q, per_class):
+    """Warm-batch A/B: does --warm-compile hide the per-class
+    executable load in a multi-class batch?
+
+    Three DISJOINT family sets of identical shapes (same two shape
+    classes — M and M+256 rows — so they share the persistent compile
+    cache, but distinct contents so the axon runtime's compute-request
+    cache cannot favor a later arm): a prime pass populates the
+    persistent cache (cold-compile cost, reported but not compared),
+    then the off/on arms each run in a FRESH subprocess (per-process
+    jit caches) against the warm persistent cache. The difference is
+    the per-class dispatch-time executable load the AOT cache is meant
+    to hide. CPU-side output parity is pinned by tests/test_exe_cache.py.
+    """
+    import subprocess
+    import tempfile
+
+    letters = "ACDEFGHIKLMNPQRSTVWY-"[:q]
+    rng = np.random.default_rng(23)
+    tmp = tempfile.mkdtemp(prefix="gdca_warmab_")
+    cachedir = f"{tmp}/xla"
+
+    def gen(set_name):
+        fams = []
+        for i in range(2 * per_class):
+            m = M + 256 * (i % 2)           # two shape classes
+            rows = rng.integers(0, len(letters), size=(m, N))
+            p = f"{tmp}/{set_name}_{i}.fasta"
+            with open(p, "w") as fh:
+                for r in range(m):
+                    fh.write(f">s{r}\n" +
+                             "".join(letters[c] for c in rows[r]) + "\n")
+            fams.append(p)
+        return fams
+
+    # equivalent to `python -m gaussdca_tpu`, with an opt-in CPU pin so
+    # the leg logic is smokable off-chip (a bare subprocess would hang
+    # in axon backend init when the tunnel is down — env vars are too
+    # late, only a pre-init config update works; see CLAUDE.md)
+    launch = (
+        "import sys, os\n"
+        "if os.environ.get('GDCA_AB_FORCE_CPU'):\n"
+        "    import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from gaussdca_tpu.cli import main\n"
+        "sys.exit(main(sys.argv[1:]))\n")
+
+    def run(fams, warm, outname):
+        cmd = [sys.executable, "-c", launch, *fams,
+               "-o", f"{tmp}/{outname}", "--compile-cache", cachedir,
+               "--quiet"]
+        if warm:
+            cmd.append("--warm-compile")
+        t0 = time.perf_counter()
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        dt = time.perf_counter() - t0
+        if r.returncode != 0:
+            log(f"[ab] warm-batch arm failed:\n{r.stderr[-2000:]}")
+            raise SystemExit(9)
+        return dt
+
+    prime_s = run(gen("prime"), False, "prime")
+    off_s = run(gen("off"), False, "off")
+    on_s = run(gen("on"), True, "on")
+    nfam = 2 * per_class
+    log(f"[ab] warm-batch {nfam} fams/2 classes M={M}/{M+256} N={N}: "
+        f"prime={prime_s:.1f}s off={off_s:.1f}s on={on_s:.1f}s "
+        f"({off_s / on_s:.2f}x)")
+    import jax
+    return {"leg": "warm-batch", "M": M, "N": N, "q": q, "nfam": nfam,
+            "prime_s": round(prime_s, 2), "off_s": round(off_s, 2),
+            "on_s": round(on_s, 2),
+            "speedup": round(off_s / on_s, 3),
+            "backend": jax.default_backend()}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("leg", choices=["dist-square", "dist-asym", "di-n1000",
-                                    "di-n400", "di-wide"])
+                                    "di-n400", "di-wide", "warm-batch"])
     ap.add_argument("--impl", choices=["mapped", "gathered"],
                     default="mapped", help="di-wide formulation")
     ap.add_argument("--M", type=int, default=None)
@@ -216,6 +291,9 @@ def main(argv=None):
     elif args.leg == "di-wide":
         out = leg_di_wide(args.N or 2500, args.q or 9,
                           min(args.reps, 3), args.impl)
+    elif args.leg == "warm-batch":
+        out = leg_warm_batch(args.M or 1024, args.N or 128,
+                             args.q or 21, per_class=3)
     else:  # di-n400
         out = leg_di_n1000(args.M or 1024, args.N or 400, args.q or 21,
                            min(args.reps, 3))

@@ -115,6 +115,17 @@ def main(out):
                      "to the gathered path and record why in "
                      "PERFORMANCE.md"))
 
+    rc, d = _load(out, "warm_batch")
+    if d and "speedup" in d:
+        print(f"\nwarm-batch (--warm-compile, {d.get('nfam')} fams / "
+              f"2 classes): off={d['off_s']}s on={d['on_s']}s "
+              f"-> {d['speedup']}x")
+        print("  -> " + ("recommend --warm-compile in README batch "
+                         "docs + record in PERFORMANCE.md"
+                         if d["speedup"] >= 1.05 else
+                         "no win at this shape — record the rejection "
+                         "in PERFORMANCE.md, keep the flag opt-in"))
+
     rc, d = _load(out, "bench_check")
     print(f"\nbench --check: rc={rc}"
           + (f"  parsed: {d.get('metric', '')[:60]}..." if d else ""))

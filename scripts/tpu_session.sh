@@ -56,6 +56,7 @@ run di400_tiled_exact  900 env GDCA_DI_TILED=1 GDCA_DI_RB=exact python scripts/t
 run di1000_tiled_exact 1200 env GDCA_DI_TILED=1 GDCA_DI_RB=exact python scripts/tpu_ab.py di-n1000
 run di2500_mapped   1200 python scripts/tpu_ab.py di-wide --impl mapped
 run di2500_gathered 1200 python scripts/tpu_ab.py di-wide --impl gathered
+run warm_batch      2400 python scripts/tpu_ab.py warm-batch
 run bench_check    2400 python bench.py --check
 
 # pure reader: one flip/reject table from the leg JSONs

@@ -91,11 +91,11 @@ def test_cli_batch_transient_runtime_error(small, tmp_path, capsys,
     real = api.gdca_from_msa
     calls = {"n": 0}
 
-    def flaky(msa, cfg, top_k=None, mesh=None):
+    def flaky(msa, cfg, top_k=None, mesh=None, exe_cache=None):
         calls["n"] += 1
         if calls["n"] == 1:
             raise _FakeXlaError("RESOURCE_EXHAUSTED: out of memory")
-        return real(msa, cfg, top_k=top_k, mesh=mesh)
+        return real(msa, cfg, top_k=top_k, mesh=mesh, exe_cache=exe_cache)
 
     monkeypatch.setattr(api, "gdca_from_msa", flaky)
     rc = main([small, small, "-o", str(tmp_path)])
@@ -119,7 +119,7 @@ def test_cli_batch_deterministic_error_not_retried(small, tmp_path,
 
     calls = {"n": 0}
 
-    def broken(msa, cfg, top_k=None, mesh=None):
+    def broken(msa, cfg, top_k=None, mesh=None, exe_cache=None):
         calls["n"] += 1
         raise TypeError("bad config wiring")
 
@@ -161,11 +161,11 @@ def test_cli_batch_persistent_runtime_error(small, tmp_path, capsys,
     real = api.gdca_from_msa
     calls = {"n": 0}
 
-    def broken_then_ok(msa, cfg, top_k=None, mesh=None):
+    def broken_then_ok(msa, cfg, top_k=None, mesh=None, exe_cache=None):
         calls["n"] += 1
         if calls["n"] <= 2:  # family 1: attempt + retry both fail
             raise _FakeXlaError("INTERNAL: compilation failure")
-        return real(msa, cfg, top_k=top_k, mesh=mesh)
+        return real(msa, cfg, top_k=top_k, mesh=mesh, exe_cache=exe_cache)
 
     monkeypatch.setattr(api, "gdca_from_msa", broken_then_ok)
     rc = main([small, small, "-o", str(tmp_path)])
