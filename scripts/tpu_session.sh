@@ -58,6 +58,11 @@ run di2500_mapped   1200 python scripts/tpu_ab.py di-wide --impl mapped
 run di2500_gathered 1200 python scripts/tpu_ab.py di-wide --impl gathered
 run warm_batch      2400 python scripts/tpu_ab.py warm-batch
 run bench_check    2400 python bench.py --check
+# re-pin ALL seven floors (median-of-3 with spread) under the CURRENT
+# defaults — runs after bench_check so the verdict vs the old floors is
+# on record first. If the decide table then flips a default, re-run
+# `python bench.py --update-floor` manually and commit the new pins.
+run floor_pin      7200 python bench.py --update-floor
 
 # pure reader: one flip/reject table from the leg JSONs
 python scripts/tpu_decide.py "$OUT" > "$OUT/decision.txt" 2>&1 || true

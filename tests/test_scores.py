@@ -479,3 +479,39 @@ def test_di_mapped_ignores_exact_rb(monkeypatch):
     nb = -(-2500 // 256)
     assert (di.planned_lane_count(2500, pair_chunk=65536)
             == nb * (nb + 1) // 2 * 256 * 256)
+
+
+def test_di_mapped_assembly_fuzz():
+    """Assembly sweep: random couplings at s=2 across irregular
+    (N, row_block, lane_chunk) combos — padding, multi-tile grids, and
+    multi-strip streaming must all land every lane in the right (i, j)
+    cell (a misplaced strip/tile shows O(value) errors, far above the
+    f32 rounding envelope asserted here)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussdca_tpu.score.di import (di_pairs_bm_gathered,
+                                       di_score_bm_mapped, site_cholesky)
+    from gaussdca_tpu.solve.cholesky import spd_inverse
+
+    q = 3
+    s = q - 1
+    rng = np.random.default_rng(123)
+    for N, RB, lc in ((37, 16, 128), (64, 16, 64), (50, 32, 256),
+                      (33, 8, 32), (96, 32, 2048)):
+        Ns = N * s
+        A = rng.standard_normal((Ns, Ns)).astype(np.float32) * 0.1
+        C = jnp.asarray(A @ A.T / Ns + np.eye(Ns, dtype=np.float32))
+        mJ = spd_inverse(C.astype(jnp.float64)).astype(jnp.float32)
+        J4 = mJ.reshape(N, s, N, s)
+        Lsite = site_cholesky(C, q)
+
+        iu, ju = np.triu_indices(N, k=1)
+        di = np.asarray(di_pairs_bm_gathered(J4, Lsite, iu, ju))
+        S_gath = np.zeros((N, N), np.float32)
+        S_gath[iu, ju] = di
+        S_gath += S_gath.T
+
+        S_map = np.asarray(di_score_bm_mapped(J4, Lsite, N, row_block=RB,
+                                              lane_chunk=lc))
+        np.testing.assert_allclose(S_map, S_gath, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"N={N} RB={RB} lc={lc}")
