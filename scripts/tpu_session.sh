@@ -68,5 +68,12 @@ run floor_pin      7200 python bench.py --update-floor
 python scripts/tpu_decide.py "$OUT" > "$OUT/decision.txt" 2>&1 || true
 tail -40 "$OUT/decision.txt" | sed 's/^/  /'
 
-echo "[session] done — results in $OUT ($INCOMPLETE leg(s) incomplete)"
+# persist the evidence into the repo: if the tunnel window happens
+# while nobody is watching, the leg JSONs + decision table still land
+# in the tree (the round driver commits uncommitted files at round end)
+DEST="chip_sessions/$(basename "$OUT")"
+mkdir -p "$DEST"
+cp "$OUT"/*.json "$OUT"/*.rc "$OUT/decision.txt" "$DEST"/ 2>/dev/null || true
+
+echo "[session] done — results in $OUT (copied to $DEST; $INCOMPLETE leg(s) incomplete)"
 exit $((INCOMPLETE > 0 ? 1 : 0))
