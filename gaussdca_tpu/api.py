@@ -323,7 +323,7 @@ def _bucket_pad(tokens: np.ndarray, cfg: GDCAConfig):
 # one setting must not serve a call made under another (same list the
 # CLI folds into its artifact cache key)
 _TRACE_ENV_KNOBS = ("GDCA_DISTANCE_IMPL", "GDCA_DI_FUSED",
-                    "GDCA_DI_TILED", "GDCA_DI_RB")
+                    "GDCA_DI_TILED", "GDCA_DI_RB", "GDCA_DI_SHARDED")
 
 
 def _scores_class_key(z_sds, q: int, cfg: GDCAConfig, dtype,

@@ -165,6 +165,7 @@ def _cache_key(path: str, cfg: GDCAConfig, top_k: Optional[int],
            os.environ.get("GDCA_DI_FUSED", ""),
            os.environ.get("GDCA_DI_TILED", ""),
            os.environ.get("GDCA_DI_RB", ""),
+           os.environ.get("GDCA_DI_SHARDED", ""),
            mesh_desc)
     h.update(repr(key).encode())
     return h.hexdigest()

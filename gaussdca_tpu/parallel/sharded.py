@@ -300,6 +300,174 @@ def _di_sharded_local(mesh: Mesh, mJ, C, q: int, *,
     return S + S.T
 
 
+def _tile_assignment(N: int, ndev: int, tile_target: int = 128):
+    """Static block-tile -> device assignment for the locally-TILED DI.
+
+    Positions are padded so each device's row slab is ``nbl`` whole
+    blocks of ``RB`` rows (``nbl = max(1, ceil(N/ndev) // tile_target)``,
+    ``RB = ceil(ceil(N/ndev) / nbl)`` — RB stays in [tile_target,
+    2*tile_target) once N >= ndev*tile_target, and padding is O(RB) per
+    device). Upper-triangular tile (bi, bj) is anchored at block bi
+    when (bi + bj) is even, else at bj: the anchor's owner computes the
+    tile from a CONTIGUOUS slice of its local slab (an anchored-at-bj
+    tile holds output block (bi, bj) transposed — free, by DI's anchor-
+    transposition invariance). Each block anchors ~nb/2 tiles (half its
+    row, half its column), so devices are balanced to O(nbl) tiles.
+
+    Returns ``(RB, nb, tmax, r0_local, c0_global, slot_direct,
+    slot_trans)``: per-device [ndev, tmax] offset arrays (padding slots
+    use offset 0 — real data, never referenced by the slot maps) and
+    the [nb, nb] assembly maps into the stacked [ndev*tmax (+1 zero),
+    RB, RB] tile output (value ndev*tmax = the appended zero block).
+    """
+    nloc0 = -(-N // ndev)
+    nbl = max(1, nloc0 // tile_target)
+    RB = -(-nloc0 // nbl)
+    nb = ndev * nbl
+    bi, bj = np.triu_indices(nb)
+    use_i = ((bi + bj) % 2) == 0
+    anchor = np.where(use_i, bi, bj)
+    other = np.where(use_i, bj, bi)
+    owner = anchor // nbl
+    tmax = int(np.bincount(owner, minlength=ndev).max())
+    r0l = np.zeros((ndev, tmax), np.int32)
+    c0g = np.zeros((ndev, tmax), np.int32)
+    zero_slot = ndev * tmax
+    slot_direct = np.full((nb, nb), zero_slot, np.int32)
+    slot_trans = np.full((nb, nb), zero_slot, np.int32)
+    fill = np.zeros(ndev, np.int64)
+    for t in range(bi.size):
+        d = owner[t]
+        k = fill[d]
+        fill[d] += 1
+        r0l[d, k] = (anchor[t] - d * nbl) * RB
+        c0g[d, k] = other[t] * RB
+        (slot_direct if use_i[t] else slot_trans)[bi[t], bj[t]] = \
+            d * tmax + k
+    return RB, nb, tmax, r0l, c0g, slot_direct, slot_trans
+
+
+def _di_sharded_tiled(mesh: Mesh, mJ, C, q: int, *,
+                      pair_chunk: int = 65536,
+                      tile_target: int = 128):
+    """DI with mJ row-sharded AND zero gathers (opt-in,
+    ``GDCA_DI_SHARDED=tiled``).
+
+    ``_di_sharded_local`` keeps memory O((Ns)^2/ndev) but feeds the
+    batch-minor core through per-lane fancy gathers
+    (``J4T_loc[:, :, li, go]``) — the op class the single-chip dense-
+    tile formulation was built to kill (profiled at N=1000: gathers +
+    concat were ~2.4 s of a 3.0 s DI wall). Here each device instead
+    enumerates dense RB x RB tiles anchored in its OWN row slab
+    (``_tile_assignment``): every tile is a contiguous
+    ``dynamic_slice`` of the local [s, s, nloc, Npd] coupling view,
+    streamed through the same fixed-lane-buffer lax.map machinery as
+    ``di_score_bm_mapped`` (uniform column strips, one compiled body).
+    Assembly gathers whole RB x RB blocks (direct or transposed per the
+    slot maps) — no per-lane indexing anywhere.
+
+    Engages only when every tile carries a bm-scale lane batch
+    (``ceil(N/ndev) >= tile_target`` — below that the per-step batches
+    hit the measured small-batch pathology; callers gate and fall back
+    to ``_di_sharded_local``). Flop overhead vs the gathered path:
+    diagonal tiles compute their discarded i >= j lanes (~RB/N) plus
+    O(RB) position padding — the same trade the single-chip tiled
+    default made. Chip timing pending: ``scripts/tpu_ab.py di-sharded``
+    (1x1-mesh proxy); keep opt-in until measured.
+    """
+    from gaussdca_tpu.score.di import (_di_pairs_bm_minor, _BM_MIN_PAIRS,
+                                       _mapped_strip_plan)
+
+    s = q - 1
+    dtype = mJ.dtype
+    N = mJ.shape[0] // s
+    ndev = mesh.devices.size
+    dev_axes = (DATA_AXIS, MODEL_AXIS)
+    RB, nb, tmax, r0l, c0g, slot_d, slot_t = _tile_assignment(
+        N, ndev, tile_target)
+    nloc = (nb // ndev) * RB
+    Npd = nb * RB
+
+    Lsite = site_cholesky(C, q)
+    J4 = mJ.reshape(N, s, N, s)
+    if Npd != N:
+        pad = Npd - N
+        # zero-padded sites: J blocks 0 -> G = I -> DI = 0 (finite)
+        J4 = jnp.pad(J4, ((0, pad), (0, 0), (0, pad), (0, 0)))
+        Lsite = jnp.pad(Lsite, ((0, pad), (0, 0), (0, 0)))
+    J4T = J4.transpose(1, 3, 0, 2)                   # [s, s, Npd, Npd]
+    J4T = _constrain(
+        J4T, NamedSharding(mesh, P(None, None, dev_axes, None)))
+    LsT = Lsite.transpose(1, 2, 0)                   # [s, s, Npd] tiny
+
+    lane_chunk = max(pair_chunk, _BM_MIN_PAIRS)
+    nstrips, CB = _mapped_strip_plan(RB, lane_chunk)
+    r0s = np.repeat(r0l, nstrips, axis=1)
+    c0s = (np.repeat(c0g, nstrips, axis=1)
+           + np.tile(np.tile(np.arange(nstrips, dtype=np.int32) * CB,
+                             tmax), (ndev, 1)))
+    row0 = np.arange(ndev, dtype=np.int32) * nloc    # global slab starts
+
+    def body(J4T_loc, LsT_r, r0_l, c0_l, row0_l):
+        def one(offs):
+            r0, c0 = offs
+            z = jnp.zeros((), r0.dtype)
+            Jb = jax.lax.dynamic_slice(
+                J4T_loc, (z, z, r0, c0),
+                (s, s, RB, CB)).reshape(s, s, RB * CB)
+            Li = jnp.broadcast_to(
+                jax.lax.dynamic_slice(
+                    LsT_r, (z, z, row0_l[0] + r0),
+                    (s, s, RB))[..., None],
+                (s, s, RB, CB)).reshape(s, s, RB * CB)
+            Lj = jnp.broadcast_to(
+                jax.lax.dynamic_slice(
+                    LsT_r, (z, z, c0), (s, s, CB))[:, :, None],
+                (s, s, RB, CB)).reshape(s, s, RB * CB)
+            return _di_pairs_bm_minor(Jb, Li, Lj).reshape(RB, CB)
+
+        strips = jax.lax.map(one, (r0_l, c0_l))   # [tmax*nstrips, RB, CB]
+        return strips.reshape(tmax, nstrips, RB, CB) \
+                     .transpose(0, 2, 1, 3).reshape(tmax, RB, RB)
+
+    tiles = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None, dev_axes, None), P(),
+                  P(dev_axes), P(dev_axes), P(dev_axes)),
+        out_specs=P(dev_axes, None, None), check_vma=False)(
+            J4T, LsT, jnp.asarray(r0s).reshape(-1),
+            jnp.asarray(c0s).reshape(-1), jnp.asarray(row0))
+
+    tiles = jnp.concatenate(
+        [tiles, jnp.zeros((1, RB, RB), dtype)], axis=0)
+    U = (tiles[jnp.asarray(slot_d)]
+         + tiles[jnp.asarray(slot_t)].swapaxes(-1, -2))
+    U = U.transpose(0, 2, 1, 3).reshape(Npd, Npd)
+    # diagonal tiles computed their i >= j lanes too; keep i < j by
+    # where, not multiplication (NaN * 0 = NaN would leak a non-finite
+    # self-pair lane through S + S.T and APC into every score)
+    r = jnp.arange(Npd)
+    same_block = (r[:, None] // RB) == (r[None, :] // RB)
+    keep = ~same_block | (r[:, None] < r[None, :])
+    U = jnp.where(keep, U, jnp.zeros((), dtype))
+    S = U + U.T
+    return S[:N, :N]
+
+
+def _di_sharded_tiled_ok(N: int, ndev: int, dtype, use_pallas,
+                         tile_target: int = 128) -> bool:
+    """Gate for the opt-in locally-tiled DI: the env knob is set AND
+    every tile carries a bm-scale lane batch AND the bm core's own
+    conditions hold (f32, kernel path)."""
+    import os
+
+    if os.environ.get("GDCA_DI_SHARDED", "").lower() != "tiled":
+        return False
+    if not (use_pallas and jnp.dtype(dtype) == jnp.float32):
+        return False
+    return -(-N // ndev) >= tile_target
+
+
 def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
                       theta_is_auto: bool, dtype,
                       solve_min_dim: int = 4096, solve_block: int = 1024,
@@ -379,9 +547,15 @@ def sharded_scores_fn(mesh: Mesh, *, q: int, score: str,
         s = q - 1
         if score == "DI":
             if storage_sharded:
-                # local-gather DI: mJ is row-sharded and stays that way
-                S = _di_sharded_local(mesh, mJ, Cuse, q,
-                                      use_pallas=use_pallas)
+                if _di_sharded_tiled_ok(N, mesh.devices.size, dtype,
+                                        use_pallas):
+                    # opt-in zero-gather variant (GDCA_DI_SHARDED=tiled,
+                    # read at TRACE time like the other kernel knobs)
+                    S = _di_sharded_tiled(mesh, mJ, Cuse, q)
+                else:
+                    # local-gather DI: mJ row-sharded and stays that way
+                    S = _di_sharded_local(mesh, mJ, Cuse, q,
+                                          use_pallas=use_pallas)
             else:
                 S = _di_sharded(mesh, mJ, Cuse, q, use_pallas=use_pallas)
         else:

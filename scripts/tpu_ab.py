@@ -183,6 +183,56 @@ def leg_di_wide(N, q, reps, impl):
             "lanes": lanes, "backend": jax.default_backend()}
 
 
+def leg_di_sharded(N, q, reps, impl):
+    """Storage-sharded DI body A/B on a 1x1 mesh: locally-TILED
+    (zero gathers, parallel/sharded._di_sharded_tiled, opt-in
+    GDCA_DI_SHARDED=tiled) vs the local-GATHER default. One real chip
+    is a valid proxy for the per-device body cost — the variants differ
+    only inside the shard_map body (dense dynamic_slice tiles vs
+    per-lane fancy gathers); the cross-device pattern is identical.
+    Synthetic q=9 for the same memory reason as di-wide.
+    """
+    import jax
+    import jax.numpy as jnp
+    from gaussdca_tpu.parallel import mesh as meshlib
+    from gaussdca_tpu.parallel.sharded import (_di_sharded_local,
+                                               _di_sharded_tiled)
+
+    s = q - 1
+    Ns = N * s
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((Ns, Ns)).astype(np.float32) * (0.3 / Ns**0.5)
+    C = jnp.asarray(A @ A.T + np.eye(Ns, dtype=np.float32))
+    mJ = rng.standard_normal((Ns, Ns)).astype(np.float32) * 0.05
+    mJ = jnp.asarray(mJ + mJ.T)
+
+    m = meshlib.make_mesh(1, shape=(1, 1))
+    fn_t = jax.jit(lambda a, b: _di_sharded_tiled(m, a, b, q))
+    fn_l = jax.jit(lambda a, b: _di_sharded_local(m, a, b, q,
+                                                  use_pallas=True))
+
+    # cross-impl agreement preflight before timing anything
+    S_t = np.asarray(fn_t(mJ, C))
+    S_l = np.asarray(fn_l(mJ, C))
+    if not np.allclose(S_t, S_l, rtol=1e-4, atol=1e-5):
+        log("[ab] di-sharded tiled/gathered DISAGREE on chip — aborting")
+        raise SystemExit(9)
+    log(f"[ab] di-sharded cross-impl agreement OK (N={N}, q={q})")
+
+    fn = fn_t if impl == "tiled" else fn_l
+
+    def run(c):
+        S = fn(mJ * c, C)
+        return float(np.asarray(S[0, 1]))
+
+    t, times = _times(run, [1.0 + 0.001 * i for i in range(reps + 1)])
+    log(f"[ab] di-sharded impl={impl} N={N} q={q}: median={t:.3f}s "
+        f"(all: {[round(x, 3) for x in times]})")
+    return {"leg": "di-sharded", "impl": impl, "N": N, "q": q,
+            "median_s": t, "times": [round(x, 4) for x in times],
+            "backend": jax.default_backend()}
+
+
 def leg_warm_batch(M, N, q, per_class):
     """Warm-batch A/B: does --warm-compile hide the per-class
     executable load in a multi-class batch?
@@ -261,9 +311,11 @@ def leg_warm_batch(M, N, q, per_class):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("leg", choices=["dist-square", "dist-asym", "di-n1000",
-                                    "di-n400", "di-wide", "warm-batch"])
-    ap.add_argument("--impl", choices=["mapped", "gathered"],
-                    default="mapped", help="di-wide formulation")
+                                    "di-n400", "di-wide", "di-sharded",
+                                    "warm-batch"])
+    ap.add_argument("--impl", choices=["mapped", "gathered", "tiled"],
+                    default="mapped", help="di-wide / di-sharded "
+                    "formulation (di-sharded: tiled | gathered)")
     ap.add_argument("--M", type=int, default=None)
     ap.add_argument("--N", type=int, default=None)
     ap.add_argument("--q", type=int, default=0, help="0 = per-leg "
@@ -291,6 +343,11 @@ def main(argv=None):
     elif args.leg == "di-wide":
         out = leg_di_wide(args.N or 2500, args.q or 9,
                           min(args.reps, 3), args.impl)
+    elif args.leg == "di-sharded":
+        out = leg_di_sharded(args.N or 2500, args.q or 9,
+                             min(args.reps, 3),
+                             "tiled" if args.impl == "tiled"
+                             else "gathered")
     elif args.leg == "warm-batch":
         out = leg_warm_batch(args.M or 1024, args.N or 128,
                              args.q or 21, per_class=3)

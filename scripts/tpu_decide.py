@@ -115,6 +115,26 @@ def main(out):
                      "to the gathered path and record why in "
                      "PERFORMANCE.md"))
 
+    # --- storage-sharded DI body: tiled vs gathered (1x1-mesh proxy) --
+    shd = {}
+    for variant in ("tiled", "gathered"):
+        rc, d = _load(out, f"di_sharded_{variant}")
+        if d and "median_s" in d:
+            shd[variant] = d
+    if shd:
+        parts = ", ".join(f"{k}={v['median_s']:.3f}s" for k, v in
+                          shd.items())
+        print(f"\nstorage-sharded DI body (N=2500, q=9, 1x1 mesh): "
+              f"{parts}")
+        if len(shd) == 2:
+            sp = shd["gathered"]["median_s"] / shd["tiled"]["median_s"]
+            print(f"  tiled is {sp:.2f}x vs local-gather -> "
+                  + ("make GDCA_DI_SHARDED=tiled the storage-sharded "
+                     "default (parallel/sharded.py gate) + record"
+                     if sp >= 1.05 else
+                     "keep local-gather default; record the rejection "
+                     "in PERFORMANCE.md"))
+
     rc, d = _load(out, "warm_batch")
     if d and "speedup" in d:
         print(f"\nwarm-batch (--warm-compile, {d.get('nfam')} fams / "

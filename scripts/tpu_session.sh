@@ -56,6 +56,8 @@ run di400_tiled_exact  900 env GDCA_DI_TILED=1 GDCA_DI_RB=exact python scripts/t
 run di1000_tiled_exact 1200 env GDCA_DI_TILED=1 GDCA_DI_RB=exact python scripts/tpu_ab.py di-n1000
 run di2500_mapped   1200 python scripts/tpu_ab.py di-wide --impl mapped
 run di2500_gathered 1200 python scripts/tpu_ab.py di-wide --impl gathered
+run di_sharded_tiled    1200 python scripts/tpu_ab.py di-sharded --impl tiled
+run di_sharded_gathered 1200 python scripts/tpu_ab.py di-sharded --impl gathered
 run warm_batch      2400 python scripts/tpu_ab.py warm-batch
 run bench_check    2400 python bench.py --check
 # re-pin ALL seven floors (median-of-3 with spread) under the CURRENT

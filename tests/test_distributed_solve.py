@@ -200,3 +200,95 @@ def test_di_local_gather_bm_core_f32():
     S_ref = np.asarray(di_score(mJ, C, q, use_pallas=False))
     err = np.abs(S_bm - S_ref).max() / np.abs(S_ref).max()
     assert err < 5e-4, err
+
+
+def test_tile_assignment_properties():
+    """Block-parity tile assignment (locally-tiled DI): every upper-
+    triangular block covered exactly once across the direct/transposed
+    slot maps, offsets stay inside the owner's slab, devices balanced
+    to O(blocks-per-device)."""
+    from gaussdca_tpu.parallel.sharded import _tile_assignment
+
+    for N, ndev, tt in ((1000, 8, 128), (2500, 8, 128), (1024, 8, 128),
+                        (120, 8, 8), (53, 4, 4), (313 * 8, 8, 128)):
+        RB, nb, tmax, r0l, c0g, sd, st = _tile_assignment(N, ndev, tt)
+        nbl = nb // ndev
+        assert nb * RB >= N
+        assert nb % ndev == 0
+        if -(-N // ndev) >= tt:           # the gate's regime
+            assert tt <= RB < 2 * tt
+        zero = ndev * tmax
+        bi, bj = np.triu_indices(nb)
+        used = set()
+        for a, b in zip(bi, bj):
+            d_slot, t_slot = int(sd[a, b]), int(st[a, b])
+            # exactly one of the two maps holds the block
+            assert (d_slot == zero) != (t_slot == zero), (a, b)
+            slot = d_slot if d_slot != zero else t_slot
+            assert slot not in used      # one tile per block
+            used.add(slot)
+            # the computing device owns the anchor's rows
+            anchor = a if d_slot != zero else b
+            d, k = divmod(slot, tmax)
+            assert anchor // nbl == d
+            assert int(r0l[d, k]) == (anchor - d * nbl) * RB
+            assert int(c0g[d, k]) == (b if d_slot != zero else a) * RB
+        # lower triangle: zero block in both maps
+        tril = np.tril_indices(nb, k=-1)
+        assert (sd[tril] == zero).all() and (st[tril] == zero).all()
+        # balance: each block anchors ~nb/2 tiles
+        T = nb * (nb + 1) // 2
+        assert tmax <= T // ndev + nbl + 2, (N, ndev, tmax)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_di_sharded_tiled_matches_local():
+    """The zero-gather locally-tiled DI must match the local-gather bm
+    path to f32 rounding (same per-lane math, different batching) and
+    stay inside the f32 envelope vs the f64 reference — including a
+    production-gate-shaped config (nloc = tile_target = 128) and a
+    small config with padding + transposed-anchor assembly."""
+    from gaussdca_tpu.parallel.sharded import (_di_sharded_local,
+                                               _di_sharded_tiled)
+    from gaussdca_tpu.score.di import di_score
+
+    m = meshlib.make_mesh(8, shape=(4, 2))
+    for q, N, tt in ((3, 120, 8), (3, 1024, 128)):
+        s = q - 1
+        Ns = N * s
+        rng = np.random.default_rng(13)
+        A = rng.standard_normal((Ns, Ns)).astype(np.float32) * 0.1
+        C = jnp.asarray(A @ A.T / Ns + np.eye(Ns, dtype=np.float32))
+        mJ = spd_inverse(C.astype(jnp.float64)).astype(jnp.float32)
+
+        S_t = np.asarray(jax.jit(
+            lambda a, b: _di_sharded_tiled(m, a, b, q,
+                                           tile_target=tt))(mJ, C))
+        S_l = np.asarray(jax.jit(
+            lambda a, b: _di_sharded_local(m, a, b, q,
+                                           use_pallas=True))(mJ, C))
+        np.testing.assert_allclose(S_t, S_l, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"q={q} N={N}")
+        assert np.array_equal(S_t, S_t.T)
+        assert np.all(np.diag(S_t) == 0.0)
+
+        S_ref = np.asarray(
+            di_score(mJ.astype(jnp.float64), C.astype(jnp.float64), q,
+                     use_pallas=False))
+        err = np.abs(S_t - S_ref).max()
+        assert err < 2e-5, (q, N, err)
+
+
+def test_di_sharded_tiled_gate(monkeypatch):
+    """GDCA_DI_SHARDED=tiled engages only where every tile carries a
+    bm-scale lane batch (nloc >= tile_target) on the f32 kernel path."""
+    from gaussdca_tpu.parallel.sharded import _di_sharded_tiled_ok
+
+    monkeypatch.delenv("GDCA_DI_SHARDED", raising=False)
+    assert not _di_sharded_tiled_ok(4096, 8, jnp.float32, True)
+    monkeypatch.setenv("GDCA_DI_SHARDED", "tiled")
+    assert _di_sharded_tiled_ok(1024, 8, jnp.float32, True)
+    assert _di_sharded_tiled_ok(4096, 8, jnp.float32, True)
+    assert not _di_sharded_tiled_ok(1016, 8, jnp.float32, True)
+    assert not _di_sharded_tiled_ok(4096, 8, jnp.float64, True)
+    assert not _di_sharded_tiled_ok(4096, 8, jnp.float32, False)
