@@ -300,6 +300,20 @@ def _checked_ranking(S, min_separation: int,
     return R
 
 
+def _bucket_shape(shape, cfg: GDCAConfig):
+    """``_bucket_pad``'s shape arithmetic without touching the data:
+    (padded (M, N), has_m_true, has_n_true). ``warm_compile`` needs
+    only the shape class — padding the real tokens on the prefetch
+    thread would copy tens of MB per family just to throw it away.
+    tests/test_exe_cache.py pins this against ``_bucket_pad``."""
+    M, N = shape
+    has_m = cfg.m_bucket > 0 and M % cfg.m_bucket != 0
+    has_n = cfg.n_bucket > 0 and N % cfg.n_bucket != 0
+    Mp = M + (cfg.m_bucket - M % cfg.m_bucket if has_m else 0)
+    Np = N + (cfg.n_bucket - N % cfg.n_bucket if has_n else 0)
+    return (Mp, Np), has_m, has_n
+
+
 def _bucket_pad(tokens: np.ndarray, cfg: GDCAConfig):
     """Apply (m_bucket, n_bucket) padding; -> (tokens, m_true, n_true).
 
@@ -369,17 +383,17 @@ def warm_compile(exe_cache, msa: fasta.MSA, cfg: GDCAConfig) -> bool:
     q = msa.q
     if not (2 <= q <= MAX_Q):
         return False
-    tokens, m_true, n_true = _bucket_pad(msa.tokens, cfg)
-    if tokens.shape[1] * (q - 1) >= _SPLIT_PIPELINE_MIN_NS:
+    shape, has_m, has_n = _bucket_shape(msa.tokens.shape, cfg)
+    if shape[1] * (q - 1) >= _SPLIT_PIPELINE_MIN_NS:
         return False
     dtype = cfg.resolve_dtype()
     theta_is_auto = cfg.auto_theta
-    z_sds = jax.ShapeDtypeStruct(tokens.shape, tokens.dtype)
+    z_sds = jax.ShapeDtypeStruct(shape, msa.tokens.dtype)
     key = _scores_class_key(z_sds, q, cfg, dtype, theta_is_auto,
-                            m_true is not None, n_true is not None)
+                            has_m, has_n)
     exe_cache.warm(key, functools.partial(
         _lower_scores, z_sds, q, cfg, dtype, theta_is_auto,
-        m_true is not None, n_true is not None))
+        has_m, has_n))
     return True
 
 

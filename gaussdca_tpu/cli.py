@@ -318,9 +318,16 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
         log.emit()
         return None
 
+    from gaussdca_tpu.ops.dispatch import _on_tpu
     from gaussdca_tpu.utils.flops import pipeline_flops
-    fl = pipeline_flops(result.M, result.N, result.q, score=cfg.score,
-                        auto_theta=cfg.auto_theta)
+    # account the EXECUTED program: bucket-padded dims and the kernel
+    # family the dispatch actually took (f64 golden / forced-fallback
+    # runs execute the gemm scaffold, not the dense-tile bm plan)
+    (Mp, Np), _, _ = api._bucket_shape((result.M, result.N), cfg)
+    bm = (not cfg.resolve_fallback() and _on_tpu()
+          and cfg.resolve_dtype().name == "float32")
+    fl = pipeline_flops(Mp, Np, result.q, score=cfg.score,
+                        auto_theta=cfg.auto_theta, bm=bm)
     pipe_s = log.timings.get("pipeline", 0.0)
     log.set(M=result.M, N=result.N, q=result.q,
             dropped_gaps=result.n_dropped_gaps,

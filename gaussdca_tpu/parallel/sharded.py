@@ -375,8 +375,10 @@ def _di_sharded_tiled(mesh: Mesh, mJ, C, q: int, *,
     default made. Chip timing pending: ``scripts/tpu_ab.py di-sharded``
     (1x1-mesh proxy); keep opt-in until measured.
     """
-    from gaussdca_tpu.score.di import (_di_pairs_bm_minor, _BM_MIN_PAIRS,
-                                       _mapped_strip_plan)
+    from gaussdca_tpu.score.di import (_BM_MIN_PAIRS, _di_pairs_bm_minor,
+                                       _finish_upper_blocks,
+                                       _mapped_strip_plan,
+                                       _strips_to_tiles)
 
     s = q - 1
     dtype = mJ.dtype
@@ -427,8 +429,7 @@ def _di_sharded_tiled(mesh: Mesh, mJ, C, q: int, *,
             return _di_pairs_bm_minor(Jb, Li, Lj).reshape(RB, CB)
 
         strips = jax.lax.map(one, (r0_l, c0_l))   # [tmax*nstrips, RB, CB]
-        return strips.reshape(tmax, nstrips, RB, CB) \
-                     .transpose(0, 2, 1, 3).reshape(tmax, RB, RB)
+        return _strips_to_tiles(strips, tmax, nstrips, RB, CB)
 
     tiles = shard_map(
         body, mesh=mesh,
@@ -443,15 +444,8 @@ def _di_sharded_tiled(mesh: Mesh, mJ, C, q: int, *,
     U = (tiles[jnp.asarray(slot_d)]
          + tiles[jnp.asarray(slot_t)].swapaxes(-1, -2))
     U = U.transpose(0, 2, 1, 3).reshape(Npd, Npd)
-    # diagonal tiles computed their i >= j lanes too; keep i < j by
-    # where, not multiplication (NaN * 0 = NaN would leak a non-finite
-    # self-pair lane through S + S.T and APC into every score)
-    r = jnp.arange(Npd)
-    same_block = (r[:, None] // RB) == (r[None, :] // RB)
-    keep = ~same_block | (r[:, None] < r[None, :])
-    U = jnp.where(keep, U, jnp.zeros((), dtype))
-    S = U + U.T
-    return S[:N, :N]
+    # the shared NaN-safe diagonal mask + symmetrize (score/di.py)
+    return _finish_upper_blocks(U, RB, N)
 
 
 def _di_sharded_tiled_ok(N: int, ndev: int, dtype, use_pallas,

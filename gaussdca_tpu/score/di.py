@@ -83,7 +83,14 @@ def sqrtm_spd(A: jax.Array, *, tol: float = None,
     return Y * jnp.sqrt(c)
 
 
-def sqrtm_spd_fixed(A: jax.Array, iters: int = 28) -> jax.Array:
+# Fixed NS iteration count of the non-bm f32 fallback (gemm scaffold).
+# utils/flops.py imports this for the fallback-path accounting — change
+# it HERE only, like BM_NS_ITERS below.
+FALLBACK_NS_ITERS = 28
+
+
+def sqrtm_spd_fixed(A: jax.Array,
+                    iters: int = FALLBACK_NS_ITERS) -> jax.Array:
     """``sqrtm_spd`` with a FIXED, unrolled iteration count (f32 path).
 
     The while_loop variant syncs its convergence scalar with the host
@@ -429,12 +436,45 @@ def _mapped_strip_plan(RB: int, lane_chunk: int) -> tuple:
     """(nstrips, CB): uniform column strips of an RB x RB tile with
     RB * CB <= lane_chunk lanes per strip. nstrips is rounded up to a
     divisor of RB so every strip has the same static shape (lax.map
-    needs uniform bodies); RB <= 4096 < lane_chunk guarantees a
-    solution exists (nstrips <= RB)."""
+    needs uniform bodies); a solution exists iff RB <= lane_chunk
+    (nstrips <= RB), checked explicitly — without the check an
+    oversized RB (e.g. a wild GDCA_DI_RB override reaching a direct
+    di_score_bm_mapped call) would spin this loop forever."""
+    if RB > lane_chunk:
+        raise ValueError(
+            f"row_block {RB} exceeds lane_chunk {lane_chunk}: even a "
+            "single-column strip would break the lane bound")
     nstrips = max(1, -(-RB * RB // lane_chunk))
     while RB % nstrips:
         nstrips += 1
     return nstrips, RB // nstrips
+
+
+def _strips_to_tiles(strips: jax.Array, T: int, nstrips: int,
+                     RB: int, CB: int) -> jax.Array:
+    """[T*nstrips, RB, CB] lax.map strip output -> [T, RB, RB] tiles
+    (strips are consecutive column slices of each tile)."""
+    return strips.reshape(T, nstrips, RB, CB) \
+                 .transpose(0, 2, 1, 3).reshape(T, RB, RB)
+
+
+def _finish_upper_blocks(U: jax.Array, RB: int, N: int) -> jax.Array:
+    """Assembled upper-block [Npd, Npd] matrix -> symmetric [N, N].
+
+    Diagonal tiles computed their i >= j lanes too; keep i < j by
+    where, NOT multiplication — a self-pair lane can exceed the fixed-
+    NS convergence envelope and come back non-finite, and NaN * 0 =
+    NaN would leak through S + S.T and, via APC, into every score.
+    ONE copy of this NaN-critical mask, shared by the tiled, mapped,
+    and sharded-tiled formulations (keeping three copies in sync is
+    the drift class that burned the flop accounting twice)."""
+    Npd = U.shape[0]
+    r = jnp.arange(Npd)
+    same_block = (r[:, None] // RB) == (r[None, :] // RB)
+    keep = ~same_block | (r[:, None] < r[None, :])
+    U = jnp.where(keep, U, jnp.zeros((), U.dtype))
+    S = U + U.T
+    return S[:N, :N]
 
 
 def di_score_bm_mapped(J4: jax.Array, Lsite: jax.Array, N: int, *,
@@ -508,8 +548,7 @@ def di_score_bm_mapped(J4: jax.Array, Lsite: jax.Array, N: int, *,
         return _di_pairs_bm_minor(Jb, Li, Lj).reshape(RB, CB)
 
     strips = jax.lax.map(body, (r0s, c0s))       # [T*nstrips, RB, CB]
-    tiles = strips.reshape(T, nstrips, RB, CB).transpose(0, 2, 1, 3) \
-                  .reshape(T, RB, RB)
+    tiles = _strips_to_tiles(strips, T, nstrips, RB, CB)
     # block-gather assembly: upper (bi, bj) -> its tile, everything
     # else -> the appended zero block (contiguous RB x RB blocks — a
     # regular large-block gather, not per-lane fancy indexing)
@@ -518,16 +557,7 @@ def di_score_bm_mapped(J4: jax.Array, Lsite: jax.Array, N: int, *,
     tiles = jnp.concatenate(
         [tiles, jnp.zeros((1, RB, RB), dtype)], axis=0)
     U = tiles[jnp.asarray(idx)].transpose(0, 2, 1, 3).reshape(Npd, Npd)
-    # diagonal tiles computed their i >= j lanes too; keep i < j by
-    # where, not multiplication (a self-pair lane can exceed the fixed-
-    # NS convergence envelope and come back non-finite — NaN * 0 = NaN
-    # would leak through S + S.T and, via APC, into every score)
-    r = jnp.arange(Npd)
-    same_block = (r[:, None] // RB) == (r[None, :] // RB)
-    keep = ~same_block | (r[:, None] < r[None, :])
-    U = jnp.where(keep, U, jnp.zeros((), dtype))
-    S = U + U.T
-    return S[:N, :N]
+    return _finish_upper_blocks(U, RB, N)
 
 
 def di_score_bm_tiled(J4: jax.Array, Lsite: jax.Array, N: int, *,
@@ -565,7 +595,6 @@ def di_score_bm_tiled(J4: jax.Array, Lsite: jax.Array, N: int, *,
     LsT = Lsite.transpose(1, 2, 0)               # [s, s, Npd]
     RB = row_block
     S = jnp.zeros((Npd, Npd), dtype)
-    tri = jnp.triu(jnp.ones((RB, RB), dtype), k=1)
     for bi in range(nb):
         for bj in range(bi, nb):
             r0, c0 = bi * RB, bj * RB
@@ -577,17 +606,10 @@ def di_score_bm_tiled(J4: jax.Array, Lsite: jax.Array, N: int, *,
                 LsT[:, :, None, c0:c0 + RB], (s, s, RB, RB)
             ).reshape(s, s, RB * RB)
             di = _di_pairs_bm_minor(Jb, Li, Lj).reshape(RB, RB)
-            if bi == bj:
-                # keep i < j lanes only — by where, not multiplication:
-                # a self-pair (i == j) lane can exceed the fixed-NS
-                # convergence envelope and come back non-finite, and
-                # NaN * 0 = NaN would leak it into S (and via APC into
-                # every score). The gathered path never computes these
-                # lanes at all.
-                di = jnp.where(tri != 0, di, jnp.zeros((), dtype))
             S = jax.lax.dynamic_update_slice(S, di, (r0, c0))
-    S = S + S.T
-    return S[:N, :N]
+    # diagonal-tile i >= j lanes (incl. possibly-non-finite self pairs)
+    # dropped by the one shared NaN-safe mask
+    return _finish_upper_blocks(S, RB, N)
 
 
 def planned_lane_count(N: int, *, pair_chunk: int = 65536,

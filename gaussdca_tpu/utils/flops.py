@@ -19,7 +19,8 @@ from typing import Dict
 
 def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
                    auto_theta: bool = True,
-                   solve_refine_iters: int = 1) -> Dict[str, float]:
+                   solve_refine_iters: int = 1,
+                   bm: bool = True) -> Dict[str, float]:
     """Estimated FLOPs per stage for one family.
 
     Reweighting counts the one-hot-matmul formulation (2*M^2*N*q) for
@@ -49,9 +50,19 @@ def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
         "solve": (1.0 + 4.0 * solve_refine_iters) * Ns ** 3,
     }
     if score == "DI":
-        from gaussdca_tpu.score.di import BM_NS_ITERS, planned_lane_count
-        lanes = planned_lane_count(N)
-        out["score"] = lanes * (3 + 3 * BM_NS_ITERS + 1) * 2.0 * s ** 3
+        from gaussdca_tpu.score.di import (BM_NS_ITERS,
+                                           FALLBACK_NS_ITERS,
+                                           planned_lane_count)
+        # ``bm``: whether the dispatch actually takes the batch-minor/
+        # dense-tile path (TPU + f32 + kernels on). f64 golden and
+        # forced-fallback runs execute the gemm scaffold instead —
+        # exact chunk-padded lanes, FALLBACK_NS_ITERS fixed iterations
+        # (the f64 monitored loop exits earlier; its count is an upper
+        # bound) — accounting them under the tiled plan inflated
+        # TFLOP/s ~2.5x (round-4 review finding).
+        lanes = planned_lane_count(N, bm=bm)
+        iters = BM_NS_ITERS if bm else FALLBACK_NS_ITERS
+        out["score"] = lanes * (3 + 3 * iters + 1) * 2.0 * s ** 3
     else:
         P = N * (N - 1) / 2
         out["score"] = P * 4.0 * s * s

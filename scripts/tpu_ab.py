@@ -161,9 +161,16 @@ def leg_di_wide(N, q, reps, impl):
         Ji = J4d * c          # distinct compute request per rep, on-device
         if impl == "mapped":
             S = di.di_score_bm_mapped(Ji, Ld, N)
-            return float(np.asarray(S[0, 1]))
-        dv = di.di_pairs_bm_gathered(Ji, Ld, iu, ju)
-        return float(np.asarray(dv[0]))
+        else:
+            # time the PRODUCTION gathered path including its [N, N]
+            # scatter assembly (di_score does exactly this) — the
+            # mapped arm's timing includes its own assembly, and the
+            # per-lane scatter is part of the op class under test
+            dv = di.di_pairs_bm_gathered(Ji, Ld, iu, ju)
+            S = jnp.zeros((N, N), dv.dtype)
+            S = S.at[iu, ju].set(dv)
+            S = S.at[ju, iu].set(dv)
+        return float(np.asarray(S[0, 1]))
 
     # cross-impl sanity on chip: a broken mapped assembly under real
     # Mosaic/XLA-TPU lowering must not get silently timed

@@ -61,10 +61,15 @@ run di_sharded_gathered 1200 python scripts/tpu_ab.py di-sharded --impl gathered
 run warm_batch      2400 python scripts/tpu_ab.py warm-batch
 run bench_check    2400 python bench.py --check
 # re-pin ALL seven floors (median-of-3 with spread) under the CURRENT
-# defaults — runs after bench_check so the verdict vs the old floors is
-# on record first. If the decide table then flips a default, re-run
-# `python bench.py --update-floor` manually and commit the new pins.
-run floor_pin      7200 python bench.py --update-floor
+# defaults — ONLY if bench_check passed: auto-pinning after a FAILED
+# gate would absorb the very regression the gate exists to catch
+# (round-4 review finding). On rc!=0, the floors need a human: read
+# decision.txt, fix/flip, then `python bench.py --update-floor`.
+if [ "$(cat "$OUT/bench_check.rc" 2>/dev/null)" = "0" ]; then
+  run floor_pin    7200 python bench.py --update-floor
+else
+  echo "[session] bench_check rc != 0 — NOT auto-pinning floors"
+fi
 
 # pure reader: one flip/reject table from the leg JSONs
 python scripts/tpu_decide.py "$OUT" > "$OUT/decision.txt" 2>&1 || true

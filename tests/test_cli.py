@@ -325,3 +325,23 @@ def test_run_family_cache_only_missing_artifact(small, tmp_path, capsys):
         run_family(small, cfg, str(tmp_path / "out"), None, str(cache),
                    quiet=True, cache_read=True, cache_only=True,
                    emit_errors_fatal=True)
+
+
+def test_di_flops_fallback_accounting():
+    """pipeline_flops(bm=False) must account the gemm-scaffold path
+    (exact chunk-padded lanes, FALLBACK_NS_ITERS) — f64 golden and
+    forced-fallback runs were previously billed under the dense-tile
+    bm plan they never execute (round-4 review finding)."""
+    from gaussdca_tpu.score import di
+    from gaussdca_tpu.utils import flops
+
+    N = 400
+    fb = flops.pipeline_flops(100, N, 21, score="DI", bm=False)
+    bm = flops.pipeline_flops(100, N, 21, score="DI", bm=True)
+    per_fb = (3 + 3 * di.FALLBACK_NS_ITERS + 1) * 2.0 * 20 ** 3
+    assert fb["score"] == di.planned_lane_count(N, bm=False) * per_fb
+    assert fb["score"] != bm["score"]
+    # the constant is the fallback core's actual default
+    import inspect
+    sig = inspect.signature(di.sqrtm_spd_fixed)
+    assert sig.parameters["iters"].default == di.FALLBACK_NS_ITERS

@@ -104,3 +104,21 @@ def test_cli_warm_compile_batch_identical(tmp_path, golden_dir):
         a = (out_a / f"{stem}.rank.txt").read_text()
         b = (out_b / f"{stem}.rank.txt").read_text()
         assert a == b and a
+
+
+def test_bucket_shape_matches_bucket_pad():
+    """_bucket_shape (warm_compile's zero-copy shape arithmetic) must
+    agree with _bucket_pad on every padding regime."""
+    from gaussdca_tpu.api import _bucket_pad, _bucket_shape
+    from gaussdca_tpu.core.config import GDCAConfig
+
+    for (M, N), mb, nb in (((106, 53), 256, 32), ((256, 64), 256, 32),
+                           ((106, 53), 0, 0), ((5, 7), 4, 4),
+                           ((4, 8), 4, 4), ((257, 33), 256, 32)):
+        cfg = GDCAConfig(m_bucket=mb, n_bucket=nb)
+        padded, m_true, n_true = _bucket_pad(
+            np.zeros((M, N), np.uint8), cfg)
+        shape, has_m, has_n = _bucket_shape((M, N), cfg)
+        assert padded.shape == shape, (M, N, mb, nb)
+        assert (m_true is not None) == has_m
+        assert (n_true is not None) == has_n

@@ -515,3 +515,12 @@ def test_di_mapped_assembly_fuzz():
                                               lane_chunk=lc))
         np.testing.assert_allclose(S_map, S_gath, rtol=1e-5, atol=1e-6,
                                    err_msg=f"N={N} RB={RB} lc={lc}")
+
+
+def test_mapped_strip_plan_rejects_oversized_rb():
+    """An RB above lane_chunk has no uniform strip solution — must be a
+    ValueError, not an infinite planner loop (round-4 review finding)."""
+    from gaussdca_tpu.score.di import _mapped_strip_plan
+
+    with pytest.raises(ValueError):
+        _mapped_strip_plan(2048, 1024)
