@@ -292,3 +292,43 @@ def test_di_sharded_tiled_gate(monkeypatch):
     assert not _di_sharded_tiled_ok(1016, 8, jnp.float32, True)
     assert not _di_sharded_tiled_ok(4096, 8, jnp.float64, True)
     assert not _di_sharded_tiled_ok(4096, 8, jnp.float32, False)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_di_sharded_bodies_no_full_coupling_tensor():
+    """Memory property of the storage-sharded DI bodies, asserted on
+    the partitioned per-device HLO (compile-only): neither the
+    local-gather nor the locally-tiled body materializes the full
+    [s, s, Npd, Npd] transposed coupling view — the largest 4-D tensor
+    stays at the per-device slab s^2*Npd^2/ndev (q=6 so the slab bound
+    dominates the [nb, nb, RB, RB] position-space assembly, which is
+    s^2 times smaller than the coupling view)."""
+    import re
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gaussdca_tpu.parallel.sharded import (_di_sharded_local,
+                                               _di_sharded_tiled)
+
+    q, N = 6, 1024
+    s = q - 1
+    Ns = N * s
+    ndev = 8
+    m = meshlib.make_mesh(ndev, shape=(4, 2))
+    spec = NamedSharding(m, P(("data", "model"), None))
+    sd = jax.ShapeDtypeStruct((Ns, Ns), jnp.float32)
+
+    for name, fn in (
+            ("tiled", lambda a, b: _di_sharded_tiled(m, a, b, q)),
+            ("local", lambda a, b: _di_sharded_local(m, a, b, q,
+                                                     use_pallas=True))):
+        comp = jax.jit(fn, in_shardings=(spec, spec)).lower(
+            sd, sd).compile()
+        shapes4 = re.findall(r"f32\[(\d+),(\d+),(\d+),(\d+)\]",
+                             comp.as_text())
+        assert shapes4, f"{name}: no 4-D f32 tensors in the HLO?"
+        elems = [int(a) * int(b) * int(c) * int(d)
+                 for a, b, c, d in shapes4]
+        full = s * s * N * N
+        assert max(elems) < full, \
+            f"{name}: full coupling view materialized per device " \
+            f"({max(elems)} >= {full})"
+        assert max(elems) <= full // ndev, (name, max(elems))
