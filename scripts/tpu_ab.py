@@ -16,8 +16,16 @@ bound completion. Output is one JSON line on stdout per leg.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# `python scripts/tpu_ab.py` puts scripts/ at sys.path[0]; the package
+# lives one level up (first real battery run failed every in-process
+# leg on this — warm-batch escaped only because it imports the package
+# in `python -c` subprocesses whose cwd IS the repo root).
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import numpy as np
 

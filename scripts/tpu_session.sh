@@ -42,7 +42,10 @@ run() {  # run <name> <timeout_s> <cmd...>
   cat "$OUT/$name.json" 2>/dev/null | tail -1 | sed 's/^/  > /'
 }
 
-run golden      900 python scripts/tpu_check.py
+# 2400s: the first run hit the old 900s cap after 3/4 configs — the
+# large-DI config + the 1x1-mesh sharded check compile several shape
+# classes through the remote tunnel (40-130 s each)
+run golden      2400 python scripts/tpu_check.py
 run dist_square 900 python scripts/tpu_ab.py dist-square
 run dist_square_t384 900 python scripts/tpu_ab.py dist-square --tile 384
 run dist_asym_auto 900 python scripts/tpu_ab.py dist-asym
