@@ -96,6 +96,12 @@ def bench_solve(Ns=8000, reps=3):
     times = []
     for s in range(1, reps + 1):
         C = jnp.asarray(make(s))
+        # Force the H2D transfer to COMPLETE before the timer starts:
+        # jnp.asarray is async on the axon runtime and the transfer
+        # rides the remote tunnel (256 MB at Ns=8000, 1.6 GB at 20000)
+        # — measured 7.5 s "solve" at Ns=8000 when the transfer landed
+        # inside the timed region vs 0.16 s round-2 compute.
+        float(np.asarray(C[0, 0]))
         t0 = time.perf_counter()
         float(np.asarray(inv(C)[0, 0]))
         times.append(time.perf_counter() - t0)
