@@ -360,7 +360,8 @@ def _di_sharded_tiled(mesh: Mesh, mJ, C, q: int, *,
     concat were ~2.4 s of a 3.0 s DI wall). Here each device instead
     enumerates dense RB x RB tiles anchored in its OWN row slab
     (``_tile_assignment``): every tile is a contiguous
-    ``dynamic_slice`` of the local [s, s, nloc, Npd] coupling view,
+    ``dynamic_slice`` of the device's flat [nloc*s, Npd*s] coupling
+    slab (tile-local reshape/transpose to batch-minor layout),
     streamed through the same fixed-lane-buffer lax.map machinery as
     ``di_score_bm_mapped`` (uniform column strips, one compiled body).
     Assembly gathers whole RB x RB blocks (direct or transposed per the
@@ -391,15 +392,19 @@ def _di_sharded_tiled(mesh: Mesh, mJ, C, q: int, *,
     Npd = nb * RB
 
     Lsite = site_cholesky(C, q)
-    J4 = mJ.reshape(N, s, N, s)
+    # the coupling stays FLAT [Npd*s, Npd*s], row-sharded; tiles
+    # reshape/transpose inside the body — materializing the [s, s,
+    # Npd, Npd] transposed view (or a padded [.., s]-minor form) across
+    # the shard_map/lax.map boundary pads s up to the 128-lane axis
+    # (128/s = 6.4x at q=21; measured 19.6 GB OOM on the single-chip
+    # mapped twin, round-4 battery)
+    J2 = mJ
     if Npd != N:
         pad = Npd - N
         # zero-padded sites: J blocks 0 -> G = I -> DI = 0 (finite)
-        J4 = jnp.pad(J4, ((0, pad), (0, 0), (0, pad), (0, 0)))
+        J2 = jnp.pad(J2, ((0, pad * s), (0, pad * s)))
         Lsite = jnp.pad(Lsite, ((0, pad), (0, 0), (0, 0)))
-    J4T = J4.transpose(1, 3, 0, 2)                   # [s, s, Npd, Npd]
-    J4T = _constrain(
-        J4T, NamedSharding(mesh, P(None, None, dev_axes, None)))
+    J2 = _constrain(J2, NamedSharding(mesh, P(dev_axes, None)))
     LsT = Lsite.transpose(1, 2, 0)                   # [s, s, Npd] tiny
 
     lane_chunk = max(pair_chunk, _BM_MIN_PAIRS)
@@ -410,13 +415,15 @@ def _di_sharded_tiled(mesh: Mesh, mJ, C, q: int, *,
                              tmax), (ndev, 1)))
     row0 = np.arange(ndev, dtype=np.int32) * nloc    # global slab starts
 
-    def body(J4T_loc, LsT_r, r0_l, c0_l, row0_l):
+    def body(J2_loc, LsT_r, r0_l, c0_l, row0_l):
         def one(offs):
             r0, c0 = offs
             z = jnp.zeros((), r0.dtype)
-            Jb = jax.lax.dynamic_slice(
-                J4T_loc, (z, z, r0, c0),
-                (s, s, RB, CB)).reshape(s, s, RB * CB)
+            blk = jax.lax.dynamic_slice(
+                J2_loc, (r0 * s, c0 * s), (RB * s, CB * s))
+            # same (i*CB + j) lane order as the J4T-slice form
+            Jb = (blk.reshape(RB, s, CB, s).transpose(1, 3, 0, 2)
+                  .reshape(s, s, RB * CB))
             Li = jnp.broadcast_to(
                 jax.lax.dynamic_slice(
                     LsT_r, (z, z, row0_l[0] + r0),
@@ -433,10 +440,10 @@ def _di_sharded_tiled(mesh: Mesh, mJ, C, q: int, *,
 
     tiles = shard_map(
         body, mesh=mesh,
-        in_specs=(P(None, None, dev_axes, None), P(),
+        in_specs=(P(dev_axes, None), P(),
                   P(dev_axes), P(dev_axes), P(dev_axes)),
         out_specs=P(dev_axes, None, None), check_vma=False)(
-            J4T, LsT, jnp.asarray(r0s).reshape(-1),
+            J2, LsT, jnp.asarray(r0s).reshape(-1),
             jnp.asarray(c0s).reshape(-1), jnp.asarray(row0))
 
     tiles = jnp.concatenate(

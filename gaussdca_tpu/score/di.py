@@ -518,13 +518,21 @@ def di_score_bm_mapped(J4: jax.Array, Lsite: jax.Array, N: int, *,
     RB = row_block
     nb = -(-N // RB)
     Npd = nb * RB
+    # The coupling stays a FLAT [Npd*s, Npd*s] matrix all the way into
+    # the lax.map body; tiles reshape/transpose per strip. Materializing
+    # the [s, s, Npd, Npd] transposed view (or the padded [Npd, s, Npd,
+    # s] form) across the loop boundary puts the s-sized dim on the
+    # 128-lane axis — a 128/s padding expansion (6.4x at q=21) that
+    # measured 19.6 GB HBM at N=1000 on chip (round-4 battery OOM; the
+    # gathered path escapes it only because XLA fuses its transpose
+    # into the gathers).
+    J2 = J4.reshape(N * s, N * s)                # free view of mJ
     if Npd != N:
         pad = Npd - N
         # zero-padded sites: J blocks 0 -> G = I -> DI = 0 (finite)
-        J4 = jnp.pad(J4, ((0, pad), (0, 0), (0, pad), (0, 0)))
+        J2 = jnp.pad(J2, ((0, pad * s), (0, pad * s)))
         Lsite = jnp.pad(Lsite, ((0, pad), (0, 0), (0, 0)))
-    J4T = J4.transpose(1, 3, 0, 2)               # [s, s, Npd, Npd]
-    LsT = Lsite.transpose(1, 2, 0)               # [s, s, Npd]
+    LsT = Lsite.transpose(1, 2, 0)               # [s, s, Npd] tiny
     nstrips, CB = _mapped_strip_plan(RB, lane_chunk)
 
     # upper-triangular (tile, strip) offset grid, precomputed on host
@@ -537,8 +545,12 @@ def di_score_bm_mapped(J4: jax.Array, Lsite: jax.Array, N: int, *,
     def body(offs):
         r0, c0 = offs
         z = jnp.zeros((), r0.dtype)    # dynamic_slice wants uniform index dtypes
-        Jb = jax.lax.dynamic_slice(
-            J4T, (z, z, r0, c0), (s, s, RB, CB)).reshape(s, s, RB * CB)
+        blk = jax.lax.dynamic_slice(
+            J2, (r0 * s, c0 * s), (RB * s, CB * s))
+        # [RB*s, CB*s] -> [s, s, RB*CB]: same (i*CB + j) lane order as
+        # the J4T-slice formulation (tile-local transpose, VMEM-scale)
+        Jb = (blk.reshape(RB, s, CB, s).transpose(1, 3, 0, 2)
+              .reshape(s, s, RB * CB))
         Li = jnp.broadcast_to(
             jax.lax.dynamic_slice(LsT, (z, z, r0), (s, s, RB))[..., None],
             (s, s, RB, CB)).reshape(s, s, RB * CB)
@@ -620,13 +632,13 @@ def planned_lane_count(N: int, *, pair_chunk: int = 65536,
     consumes this): the useful pair count is P = N(N-1)/2, but the
     executed lane count differs per formulation —
 
-    - dense-tile (bm default, when ``_tiled_lane_gate`` passes): the
-      nb(nb+1)/2 tile grid computes RB^2 lanes per tile (diagonal tiles
-      include their discarded i >= j lanes), each tile lane-padded to a
-      multiple of 128 by ``_di_pairs_bm_minor``;
-    - mapped dense-tile (bm default past the gate, ``di_score_bm_mapped``):
-      the same tile grid streamed as nstrips uniform RB x CB strips per
+    - mapped dense-tile (bm DEFAULT at every N, ``di_score_bm_mapped``):
+      the nb(nb+1)/2 tile grid (diagonal tiles include their discarded
+      i >= j lanes) streamed as nstrips uniform RB x CB strips per
       tile — tiles * nstrips * pad128(RB * CB) lanes;
+    - unrolled dense-tile (``GDCA_DI_TILED=unrolled`` A/B knob, within
+      ``_tiled_lane_gate``; chip-rejected as default): RB^2 lanes per
+      tile, each tile lane-padded to a multiple of 128;
     - gathered bm (`GDCA_DI_TILED=0` A/B knob): exact P lanes in
       balanced chunks, each chunk padded to a multiple of 128;
     - non-bm fallback (``bm=False``: f64 golden mode, small P, CPU):
@@ -642,18 +654,20 @@ def planned_lane_count(N: int, *, pair_chunk: int = 65536,
         return -(-x // 128) * 128
 
     P = N * (N - 1) // 2
+    mode = os.environ.get("GDCA_DI_TILED", "1").lower()
     dense = (bm and P >= _BM_MIN_PAIRS
-             and os.environ.get("GDCA_DI_TILED", "1").lower()
-             not in ("0", "false", "no"))
+             and mode not in ("0", "false", "no"))
     if dense:
-        if _tiled_lane_gate(N, pair_chunk):
+        if mode == "unrolled" and _tiled_lane_gate(N, pair_chunk):
             RB = _plan_row_block(N)
             nb = -(-N // RB)
             return nb * (nb + 1) // 2 * _pad128(RB * RB)
         # mapped branch mirrors di_score_bm_mapped's RB choice: the
-        # env-independent po2 plan ("exact" ignored there; an integer
-        # override forces the gate True, so it never reaches here)
-        RB = _plan_row_block_po2(N)
+        # integer override is honored, "exact" ignored (prime RBs
+        # would collapse the strip plan — see its docstring)
+        rbmode = os.environ.get("GDCA_DI_RB", "").strip()
+        RB = (int(rbmode) if rbmode.isdigit() and int(rbmode) > 0
+              else _plan_row_block_po2(N))
         nb = -(-N // RB)
         lane_chunk = max(pair_chunk, _BM_MIN_PAIRS)
         nstrips, CB = _mapped_strip_plan(RB, lane_chunk)
@@ -730,16 +744,22 @@ def di_score(mJ: jax.Array, C: jax.Array, q: int,
           and os.environ.get("GDCA_DI_FUSED", "").lower()
           not in ("1", "true", "yes"))
     if bm:
-        # dense-tile formulation by default (no gathers — see
-        # di_score_bm_tiled): unrolled tiles within the lane gate,
-        # the lax.map-streamed twin beyond it (O(lane_chunk) memory at
-        # any N — never a silent handoff to the gathered path, whose
+        # dense-tile formulation by default (no gathers), STREAMED
+        # through the fixed lane buffer at every N (O(lane_chunk)
+        # memory — never a silent handoff to the gathered path, whose
         # per-lane fancy gathers are measured-pathological exactly at
         # wide N). GDCA_DI_TILED=0 reverts to the chunked gathered
-        # path for A/B measurement.
-        if os.environ.get("GDCA_DI_TILED", "1").lower() not in (
-                "0", "false", "no"):
-            if _tiled_lane_gate(N, pair_chunk):
+        # path for A/B measurement; =unrolled selects the
+        # chip-rejected unrolled per-tile graph.
+        mode = os.environ.get("GDCA_DI_TILED", "1").lower()
+        if mode not in ("0", "false", "no"):
+            # streamed dense tiles at EVERY N (round-4 battery): the
+            # unrolled per-tile graph is rejected on the real runtime —
+            # compile > 900 s at N=400, 19.8 GB HBM OOM at N=1000 —
+            # while mapped measures 0.370 s at N=400 (vs gathered
+            # 0.400 s) with O(lane_chunk) memory. "unrolled" keeps the
+            # rejected formulation reachable for A/B within its gate.
+            if mode == "unrolled" and _tiled_lane_gate(N, pair_chunk):
                 return di_score_bm_tiled(J4, Lsite, N)
             return di_score_bm_mapped(
                 J4, Lsite, N,

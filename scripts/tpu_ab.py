@@ -6,8 +6,8 @@ time and a jitted function would otherwise pin the first value seen::
 
     python scripts/tpu_ab.py dist-square          # square circulant kernel
     python scripts/tpu_ab.py dist-asym [--k 3]    # grouped-A asym kernel
-    GDCA_DI_TILED=0 python scripts/tpu_ab.py di-n1000   # gathered DI
-    GDCA_DI_TILED=1 python scripts/tpu_ab.py di-n1000   # dense-tile DI
+    GDCA_DI_TILED=0 python scripts/tpu_ab.py di-n1000        # gathered DI
+    GDCA_DI_TILED=mapped python scripts/tpu_ab.py di-n1000   # dense-tile DI
 
 Timing conventions follow bench.py: distinct inputs per rep (the axon
 runtime caches identical compute requests) and a host scalar fetch to

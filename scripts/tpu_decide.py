@@ -45,8 +45,8 @@ def main(out):
 
     # --- distance kernel sweep ---------------------------------------
     dist = {}
-    for name in ("dist_square", "dist_square_t384", "dist_asym_auto",
-                 "dist_asym_k2", "dist_asym_k4"):
+    for name in ("dist_square", "dist_square_t512", "dist_square_t384",
+                 "dist_asym_auto", "dist_asym_k2", "dist_asym_k4"):
         rc, d = _load(out, name)
         if d and "pairs_per_s" in d:
             dist[name] = d
@@ -56,31 +56,23 @@ def main(out):
         for name, d in sorted(dist.items(),
                               key=lambda kv: -kv[1]["pairs_per_s"]):
             rel = (d["pairs_per_s"] / base - 1) * 100 if base else 0.0
-            extra = ""
-            if "asym" in name:
-                extra = f" (tile={d.get('tile')}, k={d.get('k')})"
-            elif "t384" in name:
-                extra = f" (tile={d.get('tile')})"
+            extra = (f" (tile={d.get('tile')}, k={d.get('k')})"
+                     if "asym" in name else f" (tile={d.get('tile')})")
             print(f"  {name:18s} {d['pairs_per_s']:.3e} "
                   f"({d['tf_equiv']:.0f} TF-equiv) {rel:+.1f}%{extra}")
         best = max(dist, key=lambda k: dist[k]["pairs_per_s"])
         if base and dist[best]["pairs_per_s"] > 1.03 * base:
-            if "asym" in best:
-                print(f"  -> FLIP: make asym the dispatch default "
-                      f"(ops/dispatch.py), plan ({dist[best].get('tile')},"
-                      f" {dist[best].get('k')}); then --update-floor")
-            else:
-                print("  -> FLIP: add 384 to _plan_tiles candidates; "
-                      "then --update-floor")
+            print(f"  -> {best} beats the auto plan by > 3%: update "
+                  "_plan_tiles / ops.dispatch and --update-floor")
         elif base:
-            print("  -> keep square auto as default; log the rejection "
-                  "with these numbers in PERFORMANCE.md")
+            print("  -> keep square auto (round-4 pick: tile=384) as "
+                  "default; log any rejection in PERFORMANCE.md")
 
-    # --- DI formulation ----------------------------------------------
+    # --- DI formulation: mapped (default) vs gathered ------------------
     print("\nDI end-to-end (median_s; lower is better):")
     for n in ("400", "1000"):
         row = {}
-        for variant in ("gathered", "tiled", "tiled_exact"):
+        for variant in ("gathered", "mapped", "tiled", "tiled_exact"):
             rc, d = _load(out, f"di{n}_{variant}")
             if d and "median_s" in d:
                 row[variant] = d["median_s"]
@@ -91,10 +83,12 @@ def main(out):
                 best = min(row, key=row.get)
                 sp = row["gathered"] / row[best]
                 print(f"    best: {best} ({sp:.2f}x vs gathered)")
-    print("  -> decisions: GDCA_DI_TILED stays default iff tiled <= "
-          "gathered at BOTH N; GDCA_DI_RB=exact becomes default iff "
-          "tiled_exact wins at N=400 without losing at N=1000 "
-          "(docs/ROADMAP.md item 6). Either way: PERFORMANCE.md entry.")
+    print("  -> decision: mapped stays the default iff mapped <= "
+          "gathered at BOTH N (round-4 numbers: 0.37 vs 0.40 at 400, "
+          "2.15 vs 3.17 at 1000); the unrolled graph is chip-rejected "
+          "(compile > 900 s at N=400, HBM OOM at N=1000) — do NOT "
+          "re-flip it without a fix for both. PERFORMANCE.md entry "
+          "either way.")
 
     # --- wide-N DI: mapped (past-the-gate default) vs gathered --------
     wide = {}

@@ -21,6 +21,12 @@ mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 echo "[session] output -> $OUT"
 
+# persistent compile cache: legs measure post-compile reps, so this
+# only cuts the 40-130 s/shape remote-tunnel compiles on resumed or
+# repeated sessions (warm-batch arms override it with their own dir)
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$HOME/.cache/gdca_xla}"
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
+
 INCOMPLETE=0
 run() {  # run <name> <timeout_s> <cmd...>
   local name="$1" t="$2"; shift 2
@@ -46,17 +52,19 @@ run() {  # run <name> <timeout_s> <cmd...>
 # large-DI config + the 1x1-mesh sharded check compile several shape
 # classes through the remote tunnel (40-130 s each)
 run golden      2400 python scripts/tpu_check.py
+# square auto now picks tile=384 (round-4 flip); t512 re-checks the
+# rejected pick, asym k4 re-checks the best rejected asym variant
 run dist_square 900 python scripts/tpu_ab.py dist-square
-run dist_square_t384 900 python scripts/tpu_ab.py dist-square --tile 384
-run dist_asym_auto 900 python scripts/tpu_ab.py dist-asym
-run dist_asym_k2   900 python scripts/tpu_ab.py dist-asym --k 2
+run dist_square_t512 900 python scripts/tpu_ab.py dist-square --tile 512
 run dist_asym_k4   900 python scripts/tpu_ab.py dist-asym --k 4
+# DI default is the mapped (lax.map-streamed, flat-sliced) dense-tile
+# formulation at every N; gathered is the A/B twin. The unrolled
+# per-tile graph is measured-rejected on the real runtime (round 4:
+# compile > 900 s at N=400, 19.8 GB HBM OOM at N=1000) — no legs.
+run di1000_mapped   1200 env GDCA_DI_TILED=mapped python scripts/tpu_ab.py di-n1000
 run di1000_gathered 1200 env GDCA_DI_TILED=0 python scripts/tpu_ab.py di-n1000
-run di1000_tiled    1200 env GDCA_DI_TILED=1 python scripts/tpu_ab.py di-n1000
+run di400_mapped    900 env GDCA_DI_TILED=mapped python scripts/tpu_ab.py di-n400
 run di400_gathered  900 env GDCA_DI_TILED=0 python scripts/tpu_ab.py di-n400
-run di400_tiled     900 env GDCA_DI_TILED=1 python scripts/tpu_ab.py di-n400
-run di400_tiled_exact  900 env GDCA_DI_TILED=1 GDCA_DI_RB=exact python scripts/tpu_ab.py di-n400
-run di1000_tiled_exact 1200 env GDCA_DI_TILED=1 GDCA_DI_RB=exact python scripts/tpu_ab.py di-n1000
 run di2500_mapped   1200 python scripts/tpu_ab.py di-wide --impl mapped
 run di2500_gathered 1200 python scripts/tpu_ab.py di-wide --impl gathered
 run di_sharded_tiled    1200 python scripts/tpu_ab.py di-sharded --impl tiled

@@ -228,9 +228,9 @@ def test_di_flops_track_scoring_code(monkeypatch):
     sig2 = inspect.signature(di._di_pairs_bm)
     assert sig2.parameters["iters"].default == di.BM_NS_ITERS
 
-    # lane planner mirrors the dispatch: tiled N=400 computes ~2.05x
-    # lanes (RB=128 -> Npd=512, 4 row blocks, 10 tiles x 16384 lanes =
-    # the 163840 documented in _plan_row_block)
+    # lane planner mirrors the dispatch: the mapped default at N=400
+    # computes ~2.05x lanes (RB=128 -> Npd=512, 10 tiles, one
+    # 16384-lane strip each = the 163840 documented in _plan_row_block)
     monkeypatch.delenv("GDCA_DI_TILED", raising=False)
     monkeypatch.delenv("GDCA_DI_RB", raising=False)
     N = 400
@@ -242,10 +242,19 @@ def test_di_flops_track_scoring_code(monkeypatch):
     monkeypatch.setenv("GDCA_DI_TILED", "0")
     lanes_gathered = di.planned_lane_count(N)
     assert P <= lanes_gathered < P + 2 * 128 * (P // 65536 + 1)
-    monkeypatch.delenv("GDCA_DI_TILED", raising=False)
-    # exact-fit RB override shrinks the tiled lane count
+    # exact-fit RB shrinks the UNROLLED (chip-rejected, A/B-only)
+    # lane count; the mapped default ignores it (prime RBs would
+    # collapse its uniform strip plan)
+    monkeypatch.setenv("GDCA_DI_TILED", "unrolled")
+    assert di.planned_lane_count(N) == lanes_tiled
     monkeypatch.setenv("GDCA_DI_RB", "exact")
     assert lanes_tiled > di.planned_lane_count(N) >= P
+    monkeypatch.delenv("GDCA_DI_TILED", raising=False)
+    assert di.planned_lane_count(N) == lanes_tiled
+    monkeypatch.delenv("GDCA_DI_RB", raising=False)
+    # integer RB override is honored by the mapped accounting
+    monkeypatch.setenv("GDCA_DI_RB", "256")
+    assert di.planned_lane_count(N) == 3 * 65536
     monkeypatch.delenv("GDCA_DI_RB", raising=False)
     # non-bm fallback (f64 golden / small P): exact chunk-padded P
     assert di.planned_lane_count(53, bm=False) == 53 * 52 // 2
