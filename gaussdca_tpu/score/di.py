@@ -124,12 +124,21 @@ def _chol_logdet(A: jax.Array) -> jax.Array:
 
 
 def site_cholesky(C: jax.Array, q: int) -> jax.Array:
-    """Cholesky factor of every diagonal site block C_ii: [N, s, s]."""
+    """Cholesky factor of every diagonal site block C_ii: [N, s, s].
+
+    The site blocks are gathered from a [N, s, Ns] major-dim split of C
+    (layout-free view), NOT from the [N, s, N, s] reshape: on TPU the
+    4-D view puts the s-sized dim on the 128-lane axis, and when XLA
+    materializes it (it does for the diagonal einsum) the buffer pays a
+    128/s padding expansion — 16x = 25.6 GB at q=9, N=2500 (round-4
+    battery OOM)."""
     s = q - 1
     Ns = C.shape[0]
     N = Ns // s
-    C4 = C.reshape(N, s, N, s)
-    Cii = jnp.einsum("iaib->iab", C4)
+    C3 = C.reshape(N, s, Ns)
+    idx = (jnp.arange(N, dtype=jnp.int32)[:, None] * s
+           + jnp.arange(s, dtype=jnp.int32)[None, :])      # [N, s]
+    Cii = jnp.take_along_axis(C3, idx[:, None, :], axis=2)  # [N, s, s]
     return jnp.linalg.cholesky(Cii)
 
 

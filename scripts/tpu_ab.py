@@ -161,29 +161,43 @@ def leg_di_wide(N, q, reps, impl):
     L = np.tril(rng.standard_normal((N, s, s)).astype(np.float32) * 0.1)
     idx = np.arange(s)
     L[:, idx, idx] = np.abs(L[:, idx, idx]) + 1.0
-    J4d = jnp.asarray(J4)
+    # keep the coupling FLAT on device ([Ns, Ns] is layout-aligned) and
+    # reshape to [N, s, N, s] only INSIDE jit, where it fuses away —
+    # production always calls these formulations under _scores_jit.
+    # Eager ops on a materialized [N, s, N, s] array relayout it to the
+    # (8, 128)-tiled form, a 128/s = 16x-padded 25.6 GB copy at q=9.
+    mJd = jnp.asarray(J4.reshape(N * s, N * s))
     Ld = jnp.asarray(L)
     iu, ju = np.triu_indices(N, k=1)
 
-    def score(c):
-        Ji = J4d * c          # distinct compute request per rep, on-device
-        if impl == "mapped":
-            S = di.di_score_bm_mapped(Ji, Ld, N)
-        else:
-            # time the PRODUCTION gathered path including its [N, N]
-            # scatter assembly (di_score does exactly this) — the
-            # mapped arm's timing includes its own assembly, and the
-            # per-lane scatter is part of the op class under test
-            dv = di.di_pairs_bm_gathered(Ji, Ld, iu, ju)
+    if impl == "mapped":
+        def _f(c):
+            return di.di_score_bm_mapped(
+                (mJd * c).reshape(N, s, N, s), Ld, N)
+    else:
+        # the PRODUCTION gathered path including its [N, N] scatter
+        # assembly (di_score does exactly this) — the mapped arm's
+        # timing includes its own assembly, and the per-lane scatter
+        # is part of the op class under test
+        def _f(c):
+            dv = di.di_pairs_bm_gathered(
+                (mJd * c).reshape(N, s, N, s), Ld, iu, ju)
             S = jnp.zeros((N, N), dv.dtype)
             S = S.at[iu, ju].set(dv)
-            S = S.at[ju, iu].set(dv)
-        return float(np.asarray(S[0, 1]))
+            return S.at[ju, iu].set(dv)
+    fn = jax.jit(_f)
+
+    def score(c):
+        # distinct compute request per rep via the on-device scale
+        return float(np.asarray(fn(c)[0, 1]))
 
     # cross-impl sanity on chip: a broken mapped assembly under real
     # Mosaic/XLA-TPU lowering must not get silently timed
-    S_m = np.asarray(di.di_score_bm_mapped(J4d, Ld, N))
-    d_g = np.asarray(di.di_pairs_bm_gathered(J4d, Ld, iu, ju))
+    S_m = np.asarray(jax.jit(
+        lambda: di.di_score_bm_mapped(mJd.reshape(N, s, N, s), Ld, N))())
+    d_g = np.asarray(jax.jit(
+        lambda: di.di_pairs_bm_gathered(mJd.reshape(N, s, N, s), Ld,
+                                        iu, ju))())
     if not np.allclose(S_m[iu, ju], d_g, rtol=1e-4, atol=1e-5):
         log("[ab] di-wide mapped/gathered DISAGREE on chip — aborting leg")
         raise SystemExit(9)
