@@ -26,6 +26,25 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _setup_compile_cache():
+    """Persistent XLA compile cache for every bench invocation.
+
+    Timing convention already excludes compiles (first rep compiles,
+    timed reps follow), so the cache only cuts the 40-130 s/shape
+    remote-tunnel compile cost of repeated runs (--update-floor passes
+    2+, the driver's round-end run after a battery)."""
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/gdca_xla"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception as e:          # cache is an optimization only
+        log(f"[bench] compile cache unavailable ({e}) — continuing")
+
+
 def bench_tpu(M=32768, N=384, q=21, reps=5):
     import jax
     import jax.numpy as jnp
@@ -442,6 +461,8 @@ def main(argv=None):
             jax.config.update("jax_platforms", "cpu")
 
     import jax
+
+    _setup_compile_cache()
 
     if jax.default_backend() not in ("tpu", "axon"):
         # The TPU legs (Pallas kernels) cannot run here at all, so the

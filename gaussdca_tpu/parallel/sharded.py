@@ -241,10 +241,6 @@ def _di_sharded_local(mesh: Mesh, mJ, C, q: int, *,
     Npd = nloc * ndev
 
     Lsite = site_cholesky(C, q)                          # [N, s, s] tiny
-    J4 = mJ.reshape(N, s, N, s)
-    if Npd != N:
-        J4 = jnp.concatenate(
-            [J4, jnp.zeros((Npd - N, s, N, s), J4.dtype)], axis=0)
 
     bm = (use_pallas and mJ.dtype == jnp.float32
           and pmax >= _BM_MIN_PAIRS
@@ -255,29 +251,43 @@ def _di_sharded_local(mesh: Mesh, mJ, C, q: int, *,
     idx_specs = (P(dev_axes),) * 3
 
     if bm:
-        # minor-layout local gathers ([s, s, P]) feeding the batch-minor
-        # core — same layout rationale as di_pairs_bm_gathered
-        J4T = J4.transpose(1, 3, 0, 2)                   # [s, s, Npd, N]
-        J4T = _constrain(
-            J4T, NamedSharding(mesh, P(None, None, dev_axes, None)))
+        # the coupling stays FLAT, row-sharded: on this toolchain the
+        # [N, s, N, s] reshape does NOT fuse into its consumers — it
+        # materializes with s on the 128-lane axis, a 128/s padding
+        # expansion (25.6 GB at q=9, N=2500; round-4 battery OOM).
+        # Each pair's s x s block is one slice of a vmapped
+        # dynamic_slice (a single XLA gather with (s, s) slice sizes),
+        # transposed to the batch-minor layout per chunk.
+        J2 = mJ
+        if Npd != N:
+            J2 = jnp.pad(J2, ((0, (Npd - N) * s), (0, 0)))
+        J2 = _constrain(J2, NamedSharding(mesh, P(dev_axes, None)))
         LsT = Lsite.transpose(1, 2, 0)                   # [s, s, N]
 
-        def body(J4T_loc, LsT_r, li_l, ga_l, go_l):
+        def body(J2_loc, LsT_r, li_l, ga_l, go_l):
             outs = []
             for c0 in range(0, pmax, chunk):
                 sl = slice(c0, c0 + chunk)
-                Jb = J4T_loc[:, :, li_l[sl], go_l[sl]]
+                blks = jax.vmap(
+                    lambda r, c: jax.lax.dynamic_slice(
+                        J2_loc, (r, c), (s, s)))(
+                    li_l[sl] * s, go_l[sl] * s)          # [chunk, s, s]
+                Jb = blks.transpose(1, 2, 0)             # [s, s, chunk]
                 outs.append(_di_pairs_bm_minor(
                     Jb, LsT_r[:, :, ga_l[sl]], LsT_r[:, :, go_l[sl]]))
             return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
         di = shard_map(
             body, mesh=mesh,
-            in_specs=(P(None, None, dev_axes, None), P()) + idx_specs,
+            in_specs=(P(dev_axes, None), P()) + idx_specs,
             out_specs=P(dev_axes), check_vma=False)(
-                J4T, LsT, jnp.asarray(li).reshape(-1),
+                J2, LsT, jnp.asarray(li).reshape(-1),
                 jnp.asarray(ga).reshape(-1), jnp.asarray(go).reshape(-1))
     else:
+        J4 = mJ.reshape(N, s, N, s)
+        if Npd != N:
+            J4 = jnp.concatenate(
+                [J4, jnp.zeros((Npd - N, s, N, s), J4.dtype)], axis=0)
         J4s = _constrain(
             J4, NamedSharding(mesh, P(dev_axes, None, None, None)))
 
