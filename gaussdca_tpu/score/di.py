@@ -441,6 +441,27 @@ def _tiled_lane_gate(N: int, pair_chunk: int) -> bool:
     return rb * rb <= max(pair_chunk, _BM_MIN_PAIRS)
 
 
+def _mapped_worthwhile(N: int, lane_chunk: int) -> bool:
+    """Whether the mapped dense-tile DI beats the gathered path at N.
+
+    Round-4 chip A/B (e2e, q=21): mapped wins where its diagonal +
+    position-padding lane overhead is modest — N=400 (2.05x lanes,
+    0.38 vs 0.40 s) and N=1000 (1.18x, 2.15 vs 3.17 s) — and loses
+    where it is large — N=200 (2.47x lanes: Npd 200 -> 256 padding on
+    top of the diagonal waste; 0.122 vs 0.088 s). The 2.1x lane-ratio
+    threshold sits between the measured points. An explicit integer
+    ``GDCA_DI_RB`` forces mapped (the caller chose the lane batch)."""
+    import os
+
+    if os.environ.get("GDCA_DI_RB", "").strip().isdigit():
+        return True
+    RB = _plan_row_block_po2(N)
+    nb = -(-N // RB)
+    nstrips, CB = _mapped_strip_plan(RB, lane_chunk)
+    lanes = nb * (nb + 1) // 2 * nstrips * (-(-RB * CB // 128) * 128)
+    return lanes <= 2.1 * (N * (N - 1) // 2)
+
+
 def _mapped_strip_plan(RB: int, lane_chunk: int) -> tuple:
     """(nstrips, CB): uniform column strips of an RB x RB tile with
     RB * CB <= lane_chunk lanes per strip. nstrips is rounded up to a
@@ -667,20 +688,22 @@ def planned_lane_count(N: int, *, pair_chunk: int = 65536,
     dense = (bm and P >= _BM_MIN_PAIRS
              and mode not in ("0", "false", "no"))
     if dense:
+        lane_chunk = max(pair_chunk, _BM_MIN_PAIRS)
         if mode == "unrolled" and _tiled_lane_gate(N, pair_chunk):
             RB = _plan_row_block(N)
             nb = -(-N // RB)
             return nb * (nb + 1) // 2 * _pad128(RB * RB)
-        # mapped branch mirrors di_score_bm_mapped's RB choice: the
-        # integer override is honored, "exact" ignored (prime RBs
-        # would collapse the strip plan — see its docstring)
-        rbmode = os.environ.get("GDCA_DI_RB", "").strip()
-        RB = (int(rbmode) if rbmode.isdigit() and int(rbmode) > 0
-              else _plan_row_block_po2(N))
-        nb = -(-N // RB)
-        lane_chunk = max(pair_chunk, _BM_MIN_PAIRS)
-        nstrips, CB = _mapped_strip_plan(RB, lane_chunk)
-        return nb * (nb + 1) // 2 * nstrips * _pad128(RB * CB)
+        if mode == "mapped" or _mapped_worthwhile(N, lane_chunk):
+            # mapped branch mirrors di_score_bm_mapped's RB choice:
+            # the integer override is honored, "exact" ignored (prime
+            # RBs would collapse the strip plan — see its docstring)
+            rbmode = os.environ.get("GDCA_DI_RB", "").strip()
+            RB = (int(rbmode) if rbmode.isdigit() and int(rbmode) > 0
+                  else _plan_row_block_po2(N))
+            nb = -(-N // RB)
+            nstrips, CB = _mapped_strip_plan(RB, lane_chunk)
+            return nb * (nb + 1) // 2 * nstrips * _pad128(RB * CB)
+        # ratio gate fell through to the gathered path: counted below
     from gaussdca_tpu.utils.chunked import balanced_chunk
     chunk = P if P <= pair_chunk else balanced_chunk(P, pair_chunk,
                                                      align=128)
@@ -762,17 +785,21 @@ def di_score(mJ: jax.Array, C: jax.Array, q: int,
         # chip-rejected unrolled per-tile graph.
         mode = os.environ.get("GDCA_DI_TILED", "1").lower()
         if mode not in ("0", "false", "no"):
-            # streamed dense tiles at EVERY N (round-4 battery): the
-            # unrolled per-tile graph is rejected on the real runtime —
-            # compile > 900 s at N=400, 19.8 GB HBM OOM at N=1000 —
-            # while mapped measures 0.370 s at N=400 (vs gathered
-            # 0.400 s) with O(lane_chunk) memory. "unrolled" keeps the
-            # rejected formulation reachable for A/B within its gate.
+            # streamed dense tiles wherever their lane overhead is
+            # modest (round-4 battery: mapped 0.38/2.15 s at
+            # N=400/1000 vs gathered 0.40/3.17 s; gathered 0.088 s at
+            # N=200 vs mapped 0.122 s — _mapped_worthwhile), with
+            # O(lane_chunk) memory. The unrolled per-tile graph is
+            # rejected on the real runtime (compile > 900 s at N=400,
+            # 19.8 GB HBM OOM at N=1000); "unrolled" keeps it
+            # reachable for A/B within its gate, "mapped" forces the
+            # streamed form below the ratio gate.
+            lane_chunk = max(pair_chunk, _BM_MIN_PAIRS)
             if mode == "unrolled" and _tiled_lane_gate(N, pair_chunk):
                 return di_score_bm_tiled(J4, Lsite, N)
-            return di_score_bm_mapped(
-                J4, Lsite, N,
-                lane_chunk=max(pair_chunk, _BM_MIN_PAIRS))
+            if mode == "mapped" or _mapped_worthwhile(N, lane_chunk):
+                return di_score_bm_mapped(J4, Lsite, N,
+                                          lane_chunk=lane_chunk)
         di = di_pairs_bm_gathered(J4, Lsite, iu, ju,
                                   pair_chunk=pair_chunk)
     else:
