@@ -391,9 +391,9 @@ def _plan_row_block(N: int) -> int:
     power of two, so padding waste nearly vanishes (N=400: Npd 512 ->
     402, total lanes 163840 -> 107736, 1.52x fewer flops; at N >= ~900
     the two plans converge). Per-lane math is lane-independent, so any
-    RB gives bit-identical scores; exact-fit is opt-in pending an
-    on-chip A/B of the non-128-aligned reshape/update relayout cost
-    (scripts/tpu_session.sh di*_tiled_exact legs)."""
+    RB gives bit-identical scores. Round 4: the exact-fit A/B became
+    moot — the unrolled formulation (this planner's only consumer) is
+    chip-rejected; see docs/ROADMAP.md item 6."""
     import os
 
     mode = os.environ.get("GDCA_DI_RB", "").strip().lower()
