@@ -139,19 +139,22 @@ def _plan_tiles(N: int, q: int):
     q=21); when no tile >= 128 fits under a 12 MB budget, fall back to
     unroll=1 (temporaries ~10 * tile * Np) with a larger tile.
 
-    384 is preferred over 512 where both fit: the round-4 on-chip A/B
-    at the bench shape (M=32768, Np=384, q=21) measured tile=384 at
-    1.039e10 pairs/s (335 TF-equiv) vs tile=512 at 9.85e9 (318) —
-    +5.5%; the smaller tile halves VMEM pressure (more headroom for
-    DMA/compute overlap) and the per-MAC expansion difference
-    (1/384 vs 1/512) is below the MXU-bound regime's sensitivity.
+    384 is preferred over 512: the round-4 on-chip A/B at the bench
+    shape (M=32768, Np=384, q=21) measured tile=384 at 1.039e10
+    pairs/s (335 TF-equiv) vs tile=512 at 9.85e9 (318) — +5.5%; the
+    smaller tile halves VMEM pressure (more headroom for DMA/compute
+    overlap) and the per-MAC expansion difference (1/384 vs 1/512) is
+    below the MXU-bound regime's sensitivity. 512 is not a candidate
+    at all: the fit conditions are monotone in tile, so any shape that
+    fits 512 fits 384 and takes it first (tile=512 stays reachable
+    only via an explicit ``tile_m``, e.g. the A/B legs).
     """
     Np = _round_up(max(N, 128), 128)
     per = (2 * q + 8) * Np
-    for tile in (384, 512, 256, 128):
+    for tile in (384, 256, 128):
         if tile * per <= 12 * 2 ** 20:
             return tile, True
-    for tile in (384, 512, 256, 128):
+    for tile in (384, 256, 128):
         if 10 * tile * Np <= 10 * 2 ** 20:
             return tile, False
     return 128, False

@@ -449,8 +449,14 @@ def _mapped_worthwhile(N: int, lane_chunk: int) -> bool:
     0.38 vs 0.40 s) and N=1000 (1.18x, 2.15 vs 3.17 s) — and loses
     where it is large — N=200 (2.47x lanes: Npd 200 -> 256 padding on
     top of the diagonal waste; 0.122 vs 0.088 s). The 2.1x lane-ratio
-    threshold sits between the measured points. An explicit integer
-    ``GDCA_DI_RB`` forces mapped (the caller chose the lane batch)."""
+    threshold sits between the measured points. CAVEAT: those three
+    points are all q=21 — the gate itself is q-independent while the
+    gathered path's cost scales with s (per-lane [s, s] gathers), so
+    the crossover at other q is extrapolated; the battery's wide-N
+    q=9 legs (`di2500_{mapped,gathered}`, scripts/tpu_session.sh) are
+    the standing re-validation at the one other production alphabet.
+    An explicit integer ``GDCA_DI_RB`` forces mapped (the caller chose
+    the lane batch)."""
     import os
 
     if os.environ.get("GDCA_DI_RB", "").strip().isdigit():

@@ -18,8 +18,25 @@ import json
 import os
 import sys
 
+# The one leg set scripts/tpu_session.sh currently produces. A reused
+# output dir can hold JSONs from prior rounds' leg names (round-4
+# advisor finding: di{n}_tiled / di{n}_tiled_exact / dist_asym_auto /
+# dist_asym_k2 were silently mixed into the table); anything on disk
+# outside this set is reported as stale and NEVER loaded.
+CURRENT_LEGS = frozenset({
+    "golden",
+    "dist_square", "dist_square_t512", "dist_asym_k4",
+    "di1000_mapped", "di1000_gathered",
+    "di400_mapped", "di400_gathered",
+    "di2500_mapped", "di2500_gathered",
+    "di_sharded_tiled", "di_sharded_gathered",
+    "warm_batch", "bench_check", "floor_pin",
+})
+
 
 def _load(out, name):
+    if name not in CURRENT_LEGS:
+        return None, None
     p = os.path.join(out, f"{name}.json")
     rcp = os.path.join(out, f"{name}.rc")
     rc = None
@@ -39,14 +56,20 @@ def _load(out, name):
 def main(out):
     print(f"[decide] session dir: {out}\n")
 
+    stale = sorted(
+        f[:-5] for f in os.listdir(out)
+        if f.endswith(".json") and f[:-5] not in CURRENT_LEGS)
+    if stale:
+        print("STALE legs on disk (not in the current tpu_session.sh "
+              f"leg set — IGNORED): {', '.join(stale)}\n")
+
     rc, _ = _load(out, "golden")
     print(f"golden parity: rc={rc}  "
           f"{'OK' if rc == '0' else '!! investigate before any flip'}")
 
     # --- distance kernel sweep ---------------------------------------
     dist = {}
-    for name in ("dist_square", "dist_square_t512", "dist_square_t384",
-                 "dist_asym_auto", "dist_asym_k2", "dist_asym_k4"):
+    for name in ("dist_square", "dist_square_t512", "dist_asym_k4"):
         rc, d = _load(out, name)
         if d and "pairs_per_s" in d:
             dist[name] = d
@@ -72,7 +95,7 @@ def main(out):
     print("\nDI end-to-end (median_s; lower is better):")
     for n in ("400", "1000"):
         row = {}
-        for variant in ("gathered", "mapped", "tiled", "tiled_exact"):
+        for variant in ("gathered", "mapped"):
             rc, d = _load(out, f"di{n}_{variant}")
             if d and "median_s" in d:
                 row[variant] = d["median_s"]
