@@ -192,6 +192,18 @@ def _bm_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
 BM_NS_ITERS = 20
 
 
+def matmuls_per_lane(iters: int, *, trimmed: bool) -> int:
+    """Per-lane [s, s] matmul-equivalents of the DI cores, owned HERE
+    so utils/flops.py cannot drift from the executed graph (the same
+    coupling rule as BM_NS_ITERS): 2 (rho = Li^T J Lj) + 1 (G = rho
+    rho^T) + the Newton-Schulz loop + ~1 (elimination logdet). The
+    batch-minor core (``trimmed=True``) skips the identity iteration-1
+    matmuls and the dead final Z update — 3*iters - 3 for iters >= 2 —
+    while the gemm-scaffold fallback runs the plain 3*iters loop."""
+    ns = 3 * iters - 3 if (trimmed and iters >= 2) else 3 * iters
+    return 3 + ns + 1
+
+
 def _di_pairs_bm(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
                  iters: int = BM_NS_ITERS) -> jax.Array:
     """Batch-minor DI core on batch-MAJOR inputs ([P, s, s] -> [P]).
@@ -251,10 +263,25 @@ def _di_pairs_bm_minor(J: jax.Array, Li: jax.Array, Lj: jax.Array,
     ar = jnp.arange(s)
     c = jnp.sum(G[ar, ar, :], axis=0)[None, None, :]     # trace [1,1,P]
     Y = G / c
-    Z = jnp.broadcast_to(eye, (s, s, P)).astype(J.dtype)
-    for _ in range(iters):
+    if iters >= 2:
+        # Trim the structurally-trivial matmuls (value-exact: an
+        # identity bm_matmul is 1.0*x plus 0.0 terms): iteration 1 has
+        # Z = I, so Z@Y = Y and T@Z = T — both skipped; the FINAL
+        # iteration's Z update feeds only a next T that never comes —
+        # dropped. 3*iters matmuls -> 3*iters - 3 (5% of the NS share
+        # at the production iters=20).
+        T = 1.5 * eye - 0.5 * Y
+        Y, Z = _bm_matmul(Y, T), T
+        for _ in range(iters - 2):
+            T = 1.5 * eye - 0.5 * _bm_matmul(Z, Y)
+            Y, Z = _bm_matmul(Y, T), _bm_matmul(T, Z)
         T = 1.5 * eye - 0.5 * _bm_matmul(Z, Y)
-        Y, Z = _bm_matmul(Y, T), _bm_matmul(T, Z)
+        Y = _bm_matmul(Y, T)
+    else:
+        Z = jnp.broadcast_to(eye, (s, s, P)).astype(J.dtype)
+        for _ in range(iters):
+            T = 1.5 * eye - 0.5 * _bm_matmul(Z, Y)
+            Y, Z = _bm_matmul(Y, T), _bm_matmul(T, Z)
     S = Y * jnp.sqrt(c)
 
     H = 0.5 * (S + eye)

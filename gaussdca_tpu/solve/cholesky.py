@@ -20,9 +20,27 @@ solve/blocked.py.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_solve, solve_triangular
+
+
+def _residual_precision():
+    """Precision of the Newton RESIDUAL matmul (trace-time env knob).
+
+    ``GDCA_SOLVE_RES_PREC=high`` is the round-5 A/B candidate: the
+    residual matmul R = I - C X is 2n^3 flops at the 6-pass HIGHEST
+    ceiling (~28 TF/s on v5e) — ~45% of the whole Ns=20000 solve wall —
+    while 3-pass HIGH runs ~2x faster. The known cost (measured round
+    2, Ns=8000): the achievable residual floor degrades 2e-6 -> 2.2e-5.
+    Whether that still clears the golden-DI f32 envelope is exactly
+    what the battery's ``golden_res_high`` leg gates before any flip.
+    """
+    v = os.environ.get("GDCA_SOLVE_RES_PREC", "highest").strip().lower()
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH}[v]
 
 
 def newton_refine(C: jax.Array, X: jax.Array, iters: int,
@@ -34,13 +52,14 @@ def newton_refine(C: jax.Array, X: jax.Array, iters: int,
     refinement matmuls distribute (solve/blocked.py).
 
     ``corr_precision``: precision of the CORRECTION matmul X @ R only.
-    The residual matmul R = I - C X sets the achievable floor and always
-    runs HIGHEST; the correction is small (~||R||), so its own rounding
-    contributes ~eps_bf16 * ||R|| — negligible. Measured on-chip at
-    Ns=8000: corr at DEFAULT gives the same 2e-6 residual as HIGHEST at
-    half the refinement cost (PERFORMANCE.md, solve section).
+    The residual matmul R = I - C X sets the achievable floor and runs
+    HIGHEST by default (``GDCA_SOLVE_RES_PREC`` overrides — see
+    ``_residual_precision``); the correction is small (~||R||), so its
+    own rounding contributes ~eps_bf16 * ||R|| — negligible. Measured
+    on-chip at Ns=8000: corr at DEFAULT gives the same 2e-6 residual as
+    HIGHEST at half the refinement cost (PERFORMANCE.md, solve section).
     """
-    p = jax.lax.Precision.HIGHEST
+    p = _residual_precision()
     pc = corr_precision if corr_precision is not None else p
     n = C.shape[0]
     diag = jnp.arange(n)
@@ -119,6 +138,42 @@ def tri_inverse_doubling(L: jax.Array, base: int,
     return V.transpose(0, 2, 1, 3).reshape(n, n)
 
 
+def syrk_lower_blocked(Li: jax.Array, base: int,
+                       prec=jax.lax.Precision.HIGH) -> jax.Array:
+    """X = Li^T @ Li for LOWER-triangular Li, skipping the structurally
+    zero block products.
+
+    A dense matmul spends n^3 MACs; with Li lower triangular,
+    X[I, J] = sum_{K >= max(I, J)} Li[K, I]^T Li[K, J], so accumulating
+    one row-slab outer product R_K^T R_K (R_K = the nonzero left part of
+    block row K, width (K+1)*base) per block row touches only the ~n^3/3
+    MACs that are structurally nonzero — same math, same per-block
+    precision, different (block) summation order, so it agrees with the
+    dense product to f32 rounding. Every flop is one large MXU matmul
+    ([w, base] x [base, w], contraction >= base); the accumulator update
+    is an in-place windowed add (XLA aliases the carry buffer under
+    jit). ``n`` must be a multiple of ``base`` (the doubling plan's
+    geometry guarantees it).
+    """
+    n = Li.shape[0]
+    nb = n // base
+    assert nb * base == n, (n, base)
+    X = jnp.zeros((n, n), Li.dtype)
+    for K in range(nb):
+        w = (K + 1) * base
+        R = jax.lax.slice(Li, (K * base, 0), (w, w))
+        X = X.at[:w, :w].add(jnp.matmul(R.T, R, precision=prec))
+    return X
+
+
+def _syrk_impl():
+    """``GDCA_SOLVE_SYRK``: ``dense`` (default, the measured round-2
+    path) | ``blocked`` (``syrk_lower_blocked``, the round-5 candidate:
+    3x fewer MACs, pending the battery's solve A/B legs before any
+    default flip — measure-then-flip)."""
+    return os.environ.get("GDCA_SOLVE_SYRK", "dense").strip().lower()
+
+
 def chunked_cho_inverse(L: jax.Array, rhs_chunk: int) -> jax.Array:
     """inv from a Cholesky factor, solving ``rhs_chunk`` identity columns
     per lax.map step.
@@ -185,7 +240,10 @@ def _spd_inverse_doubling(C: jax.Array, refine_iters: int) -> jax.Array:
     # bf16-accurate start there. HIGH costs only a few ms more (the
     # combines are n^3/3 of mostly-batched matmuls).
     Li = tri_inverse_doubling(L, base, prec=jax.lax.Precision.HIGH)
-    X = jnp.matmul(Li.T, Li, precision=jax.lax.Precision.HIGH)
+    if _syrk_impl() == "blocked":
+        X = syrk_lower_blocked(Li, base, prec=jax.lax.Precision.HIGH)
+    else:
+        X = jnp.matmul(Li.T, Li, precision=jax.lax.Precision.HIGH)
     X = X[:n, :n]
     return newton_refine(C, X, max(refine_iters, 1),
                          corr_precision=jax.lax.Precision.DEFAULT)

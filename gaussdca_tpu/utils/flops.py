@@ -31,10 +31,11 @@ def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
     pass. The solve counts potrf+potri-equivalent (Ns)^3 plus
     4*(Ns)^3 per Newton refinement.
 
-    DI counts the PRODUCTION batch-minor path: per executed lane, 3
-    lead matmuls (rho = Li^T J Lj, G = rho rho^T), 3 per Newton-Schulz
-    iteration (BM_NS_ITERS from score/di.py), and ~1 matmul-equivalent
-    for the elimination logdet — times the lane count the dispatch
+    DI counts the PRODUCTION batch-minor path: per executed lane, the
+    matmul-equivalent count score/di.py owns (``di.matmuls_per_lane``:
+    rho/G lead matmuls + the Newton-Schulz loop with its trimmed
+    first/last iterations + the elimination logdet, with BM_NS_ITERS
+    from the same module) — times the lane count the dispatch
     will actually compute at this N (``di.planned_lane_count``: the
     dense-tile formulation executes up to ~2x the useful P = N(N-1)/2
     lanes at small N; the gathered path executes ~P plus chunk/lane
@@ -52,6 +53,7 @@ def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
     if score == "DI":
         from gaussdca_tpu.score.di import (BM_NS_ITERS,
                                            FALLBACK_NS_ITERS,
+                                           matmuls_per_lane,
                                            planned_lane_count)
         # ``bm``: whether the dispatch actually takes the batch-minor/
         # dense-tile path (TPU + f32 + kernels on). f64 golden and
@@ -62,7 +64,8 @@ def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
         # TFLOP/s ~2.5x (round-4 review finding).
         lanes = planned_lane_count(N, bm=bm)
         iters = BM_NS_ITERS if bm else FALLBACK_NS_ITERS
-        out["score"] = lanes * (3 + 3 * iters + 1) * 2.0 * s ** 3
+        out["score"] = lanes * matmuls_per_lane(iters, trimmed=bm) \
+            * 2.0 * s ** 3
     else:
         P = N * (N - 1) / 2
         out["score"] = P * 4.0 * s * s

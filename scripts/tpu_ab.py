@@ -262,6 +262,64 @@ def leg_di_sharded(N, q, reps, impl):
             "backend": jax.default_backend()}
 
 
+def leg_solve(Ns, reps, syrk, res):
+    """Covariance-solve A/B at the wide-production width (Ns=20000 =
+    the N=1000/q=21 class): dense vs blocked triangular syrk
+    (``GDCA_SOLVE_SYRK``) x HIGHEST vs HIGH Newton residual
+    (``GDCA_SOLVE_RES_PREC``). The solve is ~58% of the round-4 N=1000
+    DI e2e wall, with the HIGHEST residual matmul (2n^3 at the 6-pass
+    ceiling) its largest single term. Each leg reports the timing AND
+    the achieved max|I - CX| residual (computed once at HIGHEST after
+    timing) — the res=high flip is additionally gated on the
+    golden_res_high accuracy leg, not just this residual.
+
+    The knobs are read at trace time, so each (syrk, res) combination
+    runs as its own interpreter invocation (tpu_session.sh legs).
+    """
+    import os
+
+    os.environ["GDCA_SOLVE_SYRK"] = syrk
+    os.environ["GDCA_SOLVE_RES_PREC"] = res
+
+    import jax
+    import jax.numpy as jnp
+    from gaussdca_tpu.solve.cholesky import spd_inverse
+
+    rng = np.random.default_rng(3)
+    # same construction family as bench.py's solve legs: SPD with a
+    # controlled condition number via a random low-rank part + ridge
+    A = rng.standard_normal((Ns, 256)).astype(np.float32)
+    C = jnp.asarray(A @ A.T / 256 + 0.05 * Ns *
+                    np.eye(Ns, dtype=np.float32))
+    C = jax.device_put(C)
+    float(np.asarray(C[0, 0]))  # H2D complete before any timing
+
+    # inv(sc*C) = inv(C)/sc, so multiplying back by sc recovers inv(C)
+    # while keeping each rep a distinct compute request (axon caches
+    # identical ones)
+    fn = jax.jit(lambda c, sc: spd_inverse(c * sc) * sc)
+
+    def run(scale):
+        X = fn(C, jnp.asarray(scale, jnp.float32))
+        return float(np.asarray(X[0, 0]))
+
+    t, times = _times(run, [1.0 + 0.001 * i for i in range(reps + 1)])
+
+    @jax.jit
+    def residual(c, x):
+        R = -jnp.matmul(c, x, precision=jax.lax.Precision.HIGHEST)
+        R = R.at[jnp.arange(c.shape[0]), jnp.arange(c.shape[0])].add(1.0)
+        return jnp.abs(R).max()
+
+    X = fn(C, jnp.asarray(1.0, jnp.float32))
+    res_max = float(np.asarray(residual(C, X)))
+    log(f"[ab] solve Ns={Ns} syrk={syrk} res={res}: median={t:.3f}s "
+        f"(all: {[round(x, 3) for x in times]}) max|I-CX|={res_max:.3e}")
+    return {"leg": "solve", "Ns": Ns, "syrk": syrk, "res": res,
+            "median_s": t, "times": [round(x, 4) for x in times],
+            "residual": res_max, "backend": jax.default_backend()}
+
+
 def leg_warm_batch(M, N, q, per_class):
     """Warm-batch A/B: does --warm-compile hide the per-class
     executable load in a multi-class batch?
@@ -341,7 +399,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("leg", choices=["dist-square", "dist-asym", "di-n1000",
                                     "di-n400", "di-wide", "di-sharded",
-                                    "warm-batch"])
+                                    "warm-batch", "solve"])
+    ap.add_argument("--syrk", choices=["dense", "blocked"], default="dense",
+                    help="solve leg: GDCA_SOLVE_SYRK variant")
+    ap.add_argument("--res", choices=["highest", "high"], default="highest",
+                    help="solve leg: GDCA_SOLVE_RES_PREC variant")
+    ap.add_argument("--Ns", type=int, default=20000,
+                    help="solve leg: matrix side")
     ap.add_argument("--impl", choices=["mapped", "gathered", "tiled"],
                     default="mapped", help="di-wide / di-sharded "
                     "formulation (di-sharded: tiled | gathered)")
@@ -377,6 +441,8 @@ def main(argv=None):
                              min(args.reps, 3),
                              "tiled" if args.impl == "tiled"
                              else "gathered")
+    elif args.leg == "solve":
+        out = leg_solve(args.Ns, min(args.reps, 3), args.syrk, args.res)
     elif args.leg == "warm-batch":
         out = leg_warm_batch(args.M or 1024, args.N or 128,
                              args.q or 21, per_class=3)

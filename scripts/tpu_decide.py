@@ -30,6 +30,7 @@ CURRENT_LEGS = frozenset({
     "di400_mapped", "di400_gathered",
     "di2500_mapped", "di2500_gathered",
     "di_sharded_tiled", "di_sharded_gathered",
+    "solve20k_base", "solve20k_syrk", "solve20k_res", "golden_res_high",
     "warm_batch", "bench_check", "floor_pin",
 })
 
@@ -151,6 +152,38 @@ def main(out):
                      if sp >= 1.05 else
                      "keep local-gather default; record the rejection "
                      "in PERFORMANCE.md"))
+
+    # --- solve: syrk formulation x Newton residual precision ----------
+    sv = {}
+    for name in ("solve20k_base", "solve20k_syrk", "solve20k_res"):
+        rc, d = _load(out, name)
+        if d and "median_s" in d:
+            sv[name] = d
+    if sv:
+        print("\ncovariance solve Ns=20000 (median_s / max|I-CX|):")
+        for name, d in sv.items():
+            print(f"  {name:15s} {d['median_s']:.3f}s  "
+                  f"residual={d['residual']:.2e}  "
+                  f"(syrk={d['syrk']}, res={d['res']})")
+        g_rc, _ = _load(out, "golden_res_high")
+        if "solve20k_base" in sv and "solve20k_syrk" in sv:
+            sp = (sv["solve20k_base"]["median_s"]
+                  / sv["solve20k_syrk"]["median_s"])
+            print(f"  blocked syrk: {sp:.2f}x vs dense -> "
+                  + ("flip GDCA_SOLVE_SYRK default to blocked "
+                     "(cholesky._syrk_impl) + re-pin solve floors"
+                     if sp >= 1.05 else
+                     "keep dense; record the rejection"))
+        if "solve20k_syrk" in sv and "solve20k_res" in sv:
+            sp = (sv["solve20k_syrk"]["median_s"]
+                  / sv["solve20k_res"]["median_s"])
+            print(f"  HIGH residual: {sp:.2f}x vs HIGHEST; "
+                  f"golden_res_high rc={g_rc} -> "
+                  + ("flip GDCA_SOLVE_RES_PREC default to high "
+                     "(cholesky._residual_precision) + re-pin"
+                     if sp >= 1.05 and g_rc == "0" else
+                     "keep HIGHEST (needs BOTH >=5% win AND "
+                     "golden_res_high rc=0); record either way"))
 
     rc, d = _load(out, "warm_batch")
     if d and "speedup" in d:

@@ -69,6 +69,14 @@ run di2500_mapped   1200 python scripts/tpu_ab.py di-wide --impl mapped
 run di2500_gathered 1200 python scripts/tpu_ab.py di-wide --impl gathered
 run di_sharded_tiled    1200 python scripts/tpu_ab.py di-sharded --impl tiled
 run di_sharded_gathered 1200 python scripts/tpu_ab.py di-sharded --impl gathered
+# round-5 solve candidates at the N=1000/q=21 class width: blocked
+# triangular syrk (exact math, 3x fewer MACs) and HIGH Newton residual
+# (2x faster residual matmul; accuracy-gated on golden_res_high below,
+# not just the reported max|I-CX|)
+run solve20k_base 1200 python scripts/tpu_ab.py solve --syrk dense --res highest
+run solve20k_syrk 1200 python scripts/tpu_ab.py solve --syrk blocked --res highest
+run solve20k_res  1200 python scripts/tpu_ab.py solve --syrk blocked --res high
+run golden_res_high 2400 env GDCA_SOLVE_RES_PREC=high GDCA_SOLVE_SYRK=blocked python scripts/tpu_check.py
 run warm_batch      2400 python scripts/tpu_ab.py warm-batch
 run bench_check    2400 python bench.py --check
 # re-pin ALL seven floors (median-of-3 with spread) under the CURRENT

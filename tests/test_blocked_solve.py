@@ -134,3 +134,57 @@ def test_spd_inverse_doubling_path_f32():
     want = np.asarray(spd_inverse(C.astype(jnp.float64)))
     err = np.abs(got - want).max() / np.abs(want).max()
     assert err < 5e-5, err
+
+
+def test_syrk_lower_blocked_matches_dense():
+    """The blocked triangular syrk (round-5 solve candidate) is the
+    same product as Li^T @ Li with the structurally-zero block products
+    skipped — identical to dense up to (block) summation order."""
+    from gaussdca_tpu.solve.cholesky import syrk_lower_blocked
+
+    rng = np.random.default_rng(11)
+    base = 128
+    for nb, dtype, tol in ((1, np.float64, 1e-13), (3, np.float64, 1e-13),
+                           (4, np.float32, 2e-5)):
+        n = base * nb
+        L = np.tril(rng.standard_normal((n, n))).astype(dtype)
+        idx = np.arange(n)
+        L[idx, idx] = np.abs(L[idx, idx]) + 1.0
+        got = np.asarray(syrk_lower_blocked(jnp.asarray(L), base))
+        want = L.T @ L
+        np.testing.assert_allclose(got, want, rtol=tol,
+                                   atol=tol * np.abs(want).max())
+
+
+def test_solve_env_knobs(monkeypatch):
+    """GDCA_SOLVE_SYRK / GDCA_SOLVE_RES_PREC are trace-time A/B knobs:
+    the blocked-syrk doubling path must agree with the dense-syrk
+    default to the Newton floor, and the residual-precision map must
+    default to HIGHEST (the measured round-2 accuracy requirement —
+    flips only on battery data)."""
+    from gaussdca_tpu.solve.cholesky import (_residual_precision,
+                                             _spd_inverse_doubling,
+                                             _syrk_impl)
+
+    monkeypatch.delenv("GDCA_SOLVE_RES_PREC", raising=False)
+    assert _residual_precision() == jax.lax.Precision.HIGHEST
+    monkeypatch.setenv("GDCA_SOLVE_RES_PREC", "high")
+    assert _residual_precision() == jax.lax.Precision.HIGH
+    monkeypatch.delenv("GDCA_SOLVE_SYRK", raising=False)
+    assert _syrk_impl() == "dense"
+
+    rng = np.random.default_rng(12)
+    n = 2100  # odd: exercises the identity padding inside the plan
+    A = rng.standard_normal((n, 256)).astype(np.float32)
+    C = jnp.asarray(A @ A.T / 256 + 0.05 * n * np.eye(n, dtype=np.float32))
+    monkeypatch.setenv("GDCA_SOLVE_RES_PREC", "highest")
+    base = np.asarray(_spd_inverse_doubling(C, 1))
+    monkeypatch.setenv("GDCA_SOLVE_SYRK", "blocked")
+    blk = np.asarray(_spd_inverse_doubling(C, 1))
+    scale = np.abs(base).max()
+    assert np.abs(blk - base).max() / scale < 5e-6, \
+        np.abs(blk - base).max() / scale
+    # accuracy vs f64 ground truth holds through the blocked syrk
+    from gaussdca_tpu.solve.cholesky import spd_inverse
+    want = np.asarray(spd_inverse(C.astype(jnp.float64)))
+    assert np.abs(blk - want).max() / np.abs(want).max() < 5e-5

@@ -221,6 +221,13 @@ def test_di_flops_track_scoring_code(monkeypatch):
     src = inspect.getsource(flops)
     assert "DI_SQRTM_ITERS" not in src
     assert "BM_NS_ITERS" in src and "planned_lane_count" in src
+    # the per-lane matmul count is owned by di.py too (the NS-loop trim
+    # would otherwise drift the accounting the same way iters did)
+    assert "matmuls_per_lane" in src
+    assert di.matmuls_per_lane(di.BM_NS_ITERS, trimmed=True) \
+        == 3 + (3 * di.BM_NS_ITERS - 3) + 1
+    assert di.matmuls_per_lane(di.FALLBACK_NS_ITERS, trimmed=False) \
+        == 3 + 3 * di.FALLBACK_NS_ITERS + 1
 
     # the production core's default iteration count IS the constant
     sig = inspect.signature(di._di_pairs_bm_minor)
@@ -265,7 +272,8 @@ def test_di_flops_track_scoring_code(monkeypatch):
     fl_gath = flops.pipeline_flops(100, N, 21, score="DI")
     assert fl_tiled["score"] / fl_gath["score"] == (
         lanes_tiled / lanes_gathered)
-    per_lane = (3 + 3 * di.BM_NS_ITERS + 1) * 2.0 * 20 ** 3
+    per_lane = di.matmuls_per_lane(di.BM_NS_ITERS, trimmed=True) \
+        * 2.0 * 20 ** 3
     assert fl_gath["score"] == lanes_gathered * per_lane
 
 

@@ -524,3 +524,46 @@ def test_mapped_strip_plan_rejects_oversized_rb():
 
     with pytest.raises(ValueError):
         _mapped_strip_plan(2048, 1024)
+
+
+def test_bm_ns_trim_is_exact():
+    """The trimmed NS loop (identity iteration 1, dropped final Z
+    update) is value-exact vs the plain 3-matmuls-per-iteration loop:
+    an identity _bm_matmul is 1.0*x plus 0.0 terms."""
+    from gaussdca_tpu.score import di
+
+    rng = np.random.default_rng(17)
+    s, P = 6, 256
+    J = rng.standard_normal((s, s, P)).astype(np.float32) * 0.2
+    J = 0.5 * (J + J.swapaxes(0, 1))
+    L = np.tril(rng.standard_normal((s, s, P)).astype(np.float32) * 0.3)
+    idx = np.arange(s)
+    L[idx, idx] = np.abs(L[idx, idx]) + 1.0
+    Jd, Ld = jnp.asarray(J), jnp.asarray(L)
+
+    got = np.asarray(di._di_pairs_bm_minor(Jd, Ld, Ld, iters=8))
+
+    # plain-loop reference: same math, no trimming
+    eye = jnp.eye(s, dtype=Jd.dtype)[:, :, None]
+    LiT = Ld.swapaxes(0, 1)
+    rho = di._bm_matmul(LiT, di._bm_matmul(Jd, Ld))
+    G = 4.0 * di._bm_matmul(rho, rho.swapaxes(0, 1)) + eye
+    c = jnp.sum(G[idx, idx, :], axis=0)[None, None, :]
+    Y = G / c
+    Z = jnp.broadcast_to(eye, G.shape).astype(Jd.dtype)
+    for _ in range(8):
+        T = 1.5 * eye - 0.5 * di._bm_matmul(Z, Y)
+        Y, Z = di._bm_matmul(Y, T), di._bm_matmul(T, Z)
+    S = Y * jnp.sqrt(c)
+    H = 0.5 * (S + eye)
+    H = 0.5 * (H + H.swapaxes(0, 1))
+    acc = jnp.zeros((G.shape[-1],), Jd.dtype)
+    for k in range(s):
+        pivot = jnp.maximum(H[k, k, :], jnp.asarray(0.1, Jd.dtype))
+        acc = acc + jnp.log(pivot)
+        col = H[:, k, :] / pivot
+        H = H - col[:, None, :] * H[k, None, :, :]
+        H = H.at[k, :, :].set(0.0).at[:, k, :].set(0.0)
+    want = np.asarray(0.5 * acc)
+
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-7)
