@@ -155,19 +155,27 @@ def leg_di_wide(N, q, reps, impl):
     from gaussdca_tpu.score import di
 
     s = q - 1
-    rng = np.random.default_rng(7)
-    J4 = rng.standard_normal((N, s, N, s)).astype(np.float32) * 0.05
-    J4 = 0.5 * (J4 + J4.transpose(2, 3, 0, 1))
-    L = np.tril(rng.standard_normal((N, s, s)).astype(np.float32) * 0.1)
-    idx = np.arange(s)
-    L[:, idx, idx] = np.abs(L[:, idx, idx]) + 1.0
-    # keep the coupling FLAT on device ([Ns, Ns] is layout-aligned) and
-    # reshape to [N, s, N, s] only INSIDE jit, where it fuses away —
-    # production always calls these formulations under _scores_jit.
-    # Eager ops on a materialized [N, s, N, s] array relayout it to the
-    # (8, 128)-tiled form, a 128/s = 16x-padded 25.6 GB copy at q=9.
-    mJd = jnp.asarray(J4.reshape(N * s, N * s))
-    Ld = jnp.asarray(L)
+    # Build the synthetic inputs ON DEVICE (jax.random under jit): the
+    # host-numpy construction pushed a 1.6 GB coupling matrix through
+    # the tunnel's H2D path, which stalled past the leg budget in the
+    # round-5 window (di2500_*.rc = 124 with no output). The coupling
+    # stays FLAT on device ([Ns, Ns] is layout-aligned) and reshapes to
+    # [N, s, N, s] only INSIDE jit, where it fuses away — production
+    # always calls these formulations under _scores_jit. Eager ops on a
+    # materialized [N, s, N, s] array relayout it to the (8, 128)-tiled
+    # form, a 128/s = 16x-padded 25.6 GB copy at q=9.
+    @jax.jit
+    def _make(key):
+        kj, kl = jax.random.split(key)
+        Jm = 0.05 * jax.random.normal(kj, (N * s, N * s), jnp.float32)
+        Jm = 0.5 * (Jm + Jm.T)
+        B = 0.1 * jax.random.normal(kl, (N, s, s), jnp.float32)
+        L = jnp.tril(B, k=-1) + \
+            (jnp.abs(B) + 1.0) * jnp.eye(s, dtype=jnp.float32)[None]
+        return Jm, L
+
+    mJd, Ld = _make(jax.random.PRNGKey(7))
+    float(np.asarray(mJd[0, 0]))  # construction complete before timing
     iu, ju = np.triu_indices(N, k=1)
 
     if impl == "mapped":
@@ -229,11 +237,19 @@ def leg_di_sharded(N, q, reps, impl):
 
     s = q - 1
     Ns = N * s
-    rng = np.random.default_rng(7)
-    A = rng.standard_normal((Ns, Ns)).astype(np.float32) * (0.3 / Ns**0.5)
-    C = jnp.asarray(A @ A.T + np.eye(Ns, dtype=np.float32))
-    mJ = rng.standard_normal((Ns, Ns)).astype(np.float32) * 0.05
-    mJ = jnp.asarray(mJ + mJ.T)
+    # device-side construction: the host version was a 20000^2 CPU
+    # BLAS A@A^T (~5 min) plus two 1.6 GB H2D transfers — the same
+    # tunnel stall class as di-wide (see _make there)
+    @jax.jit
+    def _make(key):
+        ka, km = jax.random.split(key)
+        A = (0.3 / Ns**0.5) * jax.random.normal(ka, (Ns, Ns), jnp.float32)
+        C = A @ A.T + jnp.eye(Ns, dtype=jnp.float32)
+        m = 0.05 * jax.random.normal(km, (Ns, Ns), jnp.float32)
+        return C, m + m.T
+
+    C, mJ = _make(jax.random.PRNGKey(7))
+    float(np.asarray(C[0, 0]))
 
     m = meshlib.make_mesh(1, shape=(1, 1))
     fn_t = jax.jit(lambda a, b: _di_sharded_tiled(m, a, b, q))
@@ -285,14 +301,17 @@ def leg_solve(Ns, reps, syrk, res):
     import jax.numpy as jnp
     from gaussdca_tpu.solve.cholesky import spd_inverse
 
-    rng = np.random.default_rng(3)
-    # same construction family as bench.py's solve legs: SPD with a
-    # controlled condition number via a random low-rank part + ridge
-    A = rng.standard_normal((Ns, 256)).astype(np.float32)
-    C = jnp.asarray(A @ A.T / 256 + 0.05 * Ns *
-                    np.eye(Ns, dtype=np.float32))
-    C = jax.device_put(C)
-    float(np.asarray(C[0, 0]))  # H2D complete before any timing
+    # same construction family as bench.py's solve legs (SPD via a
+    # random low-rank part + ridge), built ON DEVICE: a host [Ns, Ns]
+    # f32 is a 1.6 GB H2D through the tunnel — the round-5 stall class
+    @jax.jit
+    def _make(key):
+        A = jax.random.normal(key, (Ns, 256), jnp.float32)
+        return A @ A.T / 256 + \
+            0.05 * Ns * jnp.eye(Ns, dtype=jnp.float32)
+
+    C = _make(jax.random.PRNGKey(3))
+    float(np.asarray(C[0, 0]))  # construction complete before timing
 
     # inv(sc*C) = inv(C)/sc, so multiplying back by sc recovers inv(C)
     # while keeping each rep a distinct compute request (axon caches
