@@ -186,10 +186,30 @@ def _bm_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
 
 
 # Fixed Newton-Schulz iteration count of the production batch-minor
-# core. utils/flops.py imports this for the per-family TFLOP accounting
-# — change it HERE only (round-3 verdict: a drifted copy in flops.py
-# made every DI TFLOP/s log systematically wrong).
+# core. utils/flops.py derives the per-family TFLOP accounting from
+# ``bm_ns_iters()`` below — change it HERE only (round-3 verdict: a
+# drifted copy in flops.py made every DI TFLOP/s log systematically
+# wrong).
 BM_NS_ITERS = 20
+
+
+def bm_ns_iters() -> int:
+    """NS iteration count of the batch-minor core (trace-time knob).
+
+    ``GDCA_DI_NS_ITERS`` (integer >= 2) overrides ``BM_NS_ITERS`` for
+    A/B measurement — the NS loop is ~65% of the DI-stage HBM traffic
+    (3 [s, s, P] matmuls per iteration), so the iteration count is the
+    stage's main lever. The default 20 with the min(trace, inf-norm)
+    initial scaling guarantees convergence for cond(G) up to ~2.25^14
+    ~ 8e4 when the scale bound is tight (worst case /sqrt(s) when the
+    inf-norm overshoots); golden-scale data converges at ~8. Like the
+    other kernel knobs this is read at TRACE time: set it before the
+    first DI call of a shape class, and the flop accounting
+    (utils/flops.py) follows it at call time."""
+    import os
+
+    v = os.environ.get("GDCA_DI_NS_ITERS", "").strip()
+    return int(v) if v.isdigit() and int(v) >= 2 else BM_NS_ITERS
 
 
 def matmuls_per_lane(iters: int, *, trimmed: bool) -> int:
@@ -205,7 +225,7 @@ def matmuls_per_lane(iters: int, *, trimmed: bool) -> int:
 
 
 def _di_pairs_bm(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
-                 iters: int = BM_NS_ITERS) -> jax.Array:
+                 iters: int = None) -> jax.Array:
     """Batch-minor DI core on batch-MAJOR inputs ([P, s, s] -> [P]).
 
     Thin wrapper over ``_di_pairs_bm_minor``; prefer the minor-layout
@@ -219,7 +239,7 @@ def _di_pairs_bm(Jb: jax.Array, Li: jax.Array, Lj: jax.Array,
 
 
 def _di_pairs_bm_minor(J: jax.Array, Li: jax.Array, Lj: jax.Array,
-                       iters: int = BM_NS_ITERS) -> jax.Array:
+                       iters: int = None) -> jax.Array:
     """Batch-minor DI core: the TPU-optimized twin of ``_di_pairs``.
 
     Inputs [s, s, P] (pair batch on the lane axis). Same math (rho -> G
@@ -240,6 +260,8 @@ def _di_pairs_bm_minor(J: jax.Array, Li: jax.Array, Lj: jax.Array,
     and docs/MATH.md). Validated against the golden DI files
     through the force_fallback cross-check and scripts/tpu_check.py.
     """
+    if iters is None:
+        iters = bm_ns_iters()
     s = J.shape[0]
     P0 = J.shape[-1]
     # 128-align the lane axis: identity-padded lanes keep every value
@@ -261,7 +283,17 @@ def _di_pairs_bm_minor(J: jax.Array, Li: jax.Array, Lj: jax.Array,
     G = 4.0 * _bm_matmul(rho, rhoT) + eye
 
     ar = jnp.arange(s)
-    c = jnp.sum(G[ar, ar, :], axis=0)[None, None, :]     # trace [1,1,P]
+    # initial NS scale: any c >= lambda_max(G) keeps the scaled
+    # spectrum in (0, 1] (convergence-safe); iterations-to-converge is
+    # ~log_2.25(c / lambda_min) + 6, so the TIGHTER bound wins. Both
+    # trace and the inf-norm (max abs row sum) bound lambda_max for
+    # symmetric PSD G; trace overshoots by up to s (flat spectra), the
+    # inf-norm by up to sqrt(s) — their min is never worse than the
+    # round-2 trace scaling and saves up to ~log_2.25(s) ~ 3.7
+    # iterations of margin. Cost: one extra fused pass over G.
+    tr = jnp.sum(G[ar, ar, :], axis=0)
+    inf = jnp.max(jnp.sum(jnp.abs(G), axis=1), axis=0)
+    c = jnp.minimum(tr, inf)[None, None, :]              # [1, 1, P]
     Y = G / c
     if iters >= 2:
         # Trim the structurally-trivial matmuls (value-exact: an
@@ -445,6 +477,34 @@ def _plan_row_block_po2(N: int) -> int:
     return 4096
 
 
+def _plan_row_block_mapped(N: int, lane_chunk: int) -> int:
+    """Row block of ``di_score_bm_mapped``, honoring ``GDCA_DI_RB``.
+
+    An integer override is honored outright (expert knob — the strip
+    plan always finds uniform strips). ``exact`` picks the exact-fit
+    block RB = ceil(N / nb) with nb = clamp(N // 128, 1, 8) — but ONLY
+    when the whole tile fits in a single strip (RB^2 <= lane_chunk):
+    there the strip plan has no divisibility constraint, so prime RBs
+    are safe, and the padding + diagonal lane waste shrinks (N=400:
+    163840 po2 lanes -> 108288, 1.5x fewer flops). Past that fit
+    (N > ~2048 at default chunks) a prime RB would collapse the
+    uniform strip plan to CB=1 — the measured small-lane-batch
+    pathology — so the po2 plan stays. Default: po2 (the round-4
+    measured plan; the battery's exact-fit mapped legs decide any
+    flip)."""
+    import os
+
+    mode = os.environ.get("GDCA_DI_RB", "").strip().lower()
+    if mode.isdigit() and int(mode) > 0:
+        return int(mode)
+    if mode == "exact":
+        nb = max(1, min(8, N // 128))
+        rb = -(-N // nb)
+        if rb * rb <= lane_chunk:
+            return rb
+    return _plan_row_block_po2(N)
+
+
 def _tiled_lane_gate(N: int, pair_chunk: int) -> bool:
     """Whether the UNROLLED dense-tile DI formulation stays within the
     gathered path's lane-batch memory bound at this N.
@@ -488,7 +548,9 @@ def _mapped_worthwhile(N: int, lane_chunk: int) -> bool:
 
     if os.environ.get("GDCA_DI_RB", "").strip().isdigit():
         return True
-    RB = _plan_row_block_po2(N)
+    # the gate evaluates the lane ratio under the plan the mapped path
+    # would actually run (incl. a guarded GDCA_DI_RB=exact)
+    RB = _plan_row_block_mapped(N, lane_chunk)
     nb = -(-N // RB)
     nstrips, CB = _mapped_strip_plan(RB, lane_chunk)
     lanes = nb * (nb + 1) // 2 * nstrips * (-(-RB * CB // 128) * 128)
@@ -564,20 +626,18 @@ def di_score_bm_mapped(J4: jax.Array, Lsite: jax.Array, N: int, *,
     scattered per-lane fancy-indexing that made the gathered path
     pathological never appears.
 
-    ``GDCA_DI_RB=exact`` is ignored here (its padding saving vanishes
-    by N ~ 900, far below this path's range); an explicit integer
-    override is honored when it divides into uniform strips.
+    ``GDCA_DI_RB=exact`` is honored iff the exact-fit block fits one
+    uniform strip (RB^2 <= lane_chunk; ``_plan_row_block_mapped``) —
+    the single-strip guard makes prime RBs safe; an explicit integer
+    override is always honored.
     """
     s = J4.shape[1]
     dtype = J4.dtype
     if not row_block:
-        import os
-        mode = os.environ.get("GDCA_DI_RB", "").strip()
-        # integer override honored (expert knob — _mapped_strip_plan
-        # always finds uniform strips, nstrips <= RB); "exact" ignored
-        # per the docstring (prime RBs would collapse CB to 1)
-        row_block = (int(mode) if mode.isdigit() and int(mode) > 0
-                     else _plan_row_block_po2(N))
+        # integer override and guarded exact-fit handled by the shared
+        # mapped planner (_plan_row_block_mapped) — the accounting twin
+        # planned_lane_count calls the same function
+        row_block = _plan_row_block_mapped(N, lane_chunk)
     RB = row_block
     nb = -(-N // RB)
     Npd = nb * RB
@@ -727,12 +787,10 @@ def planned_lane_count(N: int, *, pair_chunk: int = 65536,
             nb = -(-N // RB)
             return nb * (nb + 1) // 2 * _pad128(RB * RB)
         if mode == "mapped" or _mapped_worthwhile(N, lane_chunk):
-            # mapped branch mirrors di_score_bm_mapped's RB choice:
-            # the integer override is honored, "exact" ignored (prime
-            # RBs would collapse the strip plan — see its docstring)
-            rbmode = os.environ.get("GDCA_DI_RB", "").strip()
-            RB = (int(rbmode) if rbmode.isdigit() and int(rbmode) > 0
-                  else _plan_row_block_po2(N))
+            # mapped branch mirrors di_score_bm_mapped's RB choice
+            # through the one shared planner (integer override honored,
+            # "exact" under the single-strip guard)
+            RB = _plan_row_block_mapped(N, lane_chunk)
             nb = -(-N // RB)
             nstrips, CB = _mapped_strip_plan(RB, lane_chunk)
             return nb * (nb + 1) // 2 * nstrips * _pad128(RB * CB)

@@ -34,8 +34,8 @@ def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
     DI counts the PRODUCTION batch-minor path: per executed lane, the
     matmul-equivalent count score/di.py owns (``di.matmuls_per_lane``:
     rho/G lead matmuls + the Newton-Schulz loop with its trimmed
-    first/last iterations + the elimination logdet, with BM_NS_ITERS
-    from the same module) — times the lane count the dispatch
+    first/last iterations + the elimination logdet, with the iteration
+    count from ``di.bm_ns_iters()``) — times the lane count the dispatch
     will actually compute at this N (``di.planned_lane_count``: the
     dense-tile formulation executes up to ~2x the useful P = N(N-1)/2
     lanes at small N; the gathered path executes ~P plus chunk/lane
@@ -51,8 +51,8 @@ def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
         "solve": (1.0 + 4.0 * solve_refine_iters) * Ns ** 3,
     }
     if score == "DI":
-        from gaussdca_tpu.score.di import (BM_NS_ITERS,
-                                           FALLBACK_NS_ITERS,
+        from gaussdca_tpu.score.di import (FALLBACK_NS_ITERS,
+                                           bm_ns_iters,
                                            matmuls_per_lane,
                                            planned_lane_count)
         # ``bm``: whether the dispatch actually takes the batch-minor/
@@ -63,7 +63,9 @@ def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
         # bound) — accounting them under the tiled plan inflated
         # TFLOP/s ~2.5x (round-4 review finding).
         lanes = planned_lane_count(N, bm=bm)
-        iters = BM_NS_ITERS if bm else FALLBACK_NS_ITERS
+        # bm_ns_iters() follows the live GDCA_DI_NS_ITERS knob at call
+        # time, like planned_lane_count follows GDCA_DI_TILED/_RB
+        iters = bm_ns_iters() if bm else FALLBACK_NS_ITERS
         out["score"] = lanes * matmuls_per_lane(iters, trimmed=bm) \
             * 2.0 * s ** 3
     else:

@@ -48,6 +48,24 @@ run() {  # run <name> <timeout_s> <cmd...>
   cat "$OUT/$name.json" 2>/dev/null | tail -1 | sed 's/^/  > /'
 }
 
+# NEW-DATA legs first (the tunnel may flap mid-session; round-4
+# confirmations and the long golden/warm legs come after):
+# round-5 solve candidates at the N=1000/q=21 class width: blocked
+# triangular syrk (exact math, 3x fewer MACs) and HIGH Newton residual
+# (2x faster residual matmul; accuracy-gated on golden_res_high below,
+# not just the reported max|I-CX|)
+run solve20k_base 1200 python scripts/tpu_ab.py solve --syrk dense --res highest
+run solve20k_syrk 1200 python scripts/tpu_ab.py solve --syrk blocked --res highest
+run solve20k_res  1200 python scripts/tpu_ab.py solve --syrk blocked --res high
+# storage-sharded DI bodies — never executed on chip post-flat-slice
+# fix (round-4 advisor finding); tiled-vs-gathered promote/reject A/B
+run di_sharded_tiled    1200 python scripts/tpu_ab.py di-sharded --impl tiled
+run di_sharded_gathered 1200 python scripts/tpu_ab.py di-sharded --impl gathered
+# wide-N single-chip DI handoff (mapped default past the lane gate)
+run di2500_mapped   1200 python scripts/tpu_ab.py di-wide --impl mapped
+run di2500_gathered 1200 python scripts/tpu_ab.py di-wide --impl gathered
+# accuracy gate for the res=high flip (4 golden configs on chip)
+run golden_res_high 2400 env GDCA_SOLVE_RES_PREC=high GDCA_SOLVE_SYRK=blocked python scripts/tpu_check.py
 # 2400s: the first run hit the old 900s cap after 3/4 configs — the
 # large-DI config + the 1x1-mesh sharded check compile several shape
 # classes through the remote tunnel (40-130 s each)
@@ -65,18 +83,6 @@ run di1000_mapped   1200 env GDCA_DI_TILED=mapped python scripts/tpu_ab.py di-n1
 run di1000_gathered 1200 env GDCA_DI_TILED=0 python scripts/tpu_ab.py di-n1000
 run di400_mapped    900 env GDCA_DI_TILED=mapped python scripts/tpu_ab.py di-n400
 run di400_gathered  900 env GDCA_DI_TILED=0 python scripts/tpu_ab.py di-n400
-run di2500_mapped   1200 python scripts/tpu_ab.py di-wide --impl mapped
-run di2500_gathered 1200 python scripts/tpu_ab.py di-wide --impl gathered
-run di_sharded_tiled    1200 python scripts/tpu_ab.py di-sharded --impl tiled
-run di_sharded_gathered 1200 python scripts/tpu_ab.py di-sharded --impl gathered
-# round-5 solve candidates at the N=1000/q=21 class width: blocked
-# triangular syrk (exact math, 3x fewer MACs) and HIGH Newton residual
-# (2x faster residual matmul; accuracy-gated on golden_res_high below,
-# not just the reported max|I-CX|)
-run solve20k_base 1200 python scripts/tpu_ab.py solve --syrk dense --res highest
-run solve20k_syrk 1200 python scripts/tpu_ab.py solve --syrk blocked --res highest
-run solve20k_res  1200 python scripts/tpu_ab.py solve --syrk blocked --res high
-run golden_res_high 2400 env GDCA_SOLVE_RES_PREC=high GDCA_SOLVE_SYRK=blocked python scripts/tpu_check.py
 run warm_batch      2400 python scripts/tpu_ab.py warm-batch
 run bench_check    2400 python bench.py --check
 # re-pin ALL seven floors (median-of-3 with spread) under the CURRENT

@@ -220,7 +220,7 @@ def test_di_flops_track_scoring_code(monkeypatch):
     # flops.py holds NO private DI constants — it imports from di
     src = inspect.getsource(flops)
     assert "DI_SQRTM_ITERS" not in src
-    assert "BM_NS_ITERS" in src and "planned_lane_count" in src
+    assert "bm_ns_iters" in src and "planned_lane_count" in src
     # the per-lane matmul count is owned by di.py too (the NS-loop trim
     # would otherwise drift the accounting the same way iters did)
     assert "matmuls_per_lane" in src
@@ -229,11 +229,23 @@ def test_di_flops_track_scoring_code(monkeypatch):
     assert di.matmuls_per_lane(di.FALLBACK_NS_ITERS, trimmed=False) \
         == 3 + 3 * di.FALLBACK_NS_ITERS + 1
 
-    # the production core's default iteration count IS the constant
+    # the production core resolves its iteration count through the one
+    # knob function (defaults to the constant; GDCA_DI_NS_ITERS
+    # overrides at trace time — and the accounting follows)
     sig = inspect.signature(di._di_pairs_bm_minor)
-    assert sig.parameters["iters"].default == di.BM_NS_ITERS
+    assert sig.parameters["iters"].default is None
     sig2 = inspect.signature(di._di_pairs_bm)
-    assert sig2.parameters["iters"].default == di.BM_NS_ITERS
+    assert sig2.parameters["iters"].default is None
+    monkeypatch.delenv("GDCA_DI_NS_ITERS", raising=False)
+    assert di.bm_ns_iters() == di.BM_NS_ITERS
+    monkeypatch.setenv("GDCA_DI_NS_ITERS", "14")
+    assert di.bm_ns_iters() == 14
+    fl14 = flops.pipeline_flops(100, 400, 21, score="DI")
+    monkeypatch.delenv("GDCA_DI_NS_ITERS", raising=False)
+    fl20 = flops.pipeline_flops(100, 400, 21, score="DI")
+    assert fl14["score"] / fl20["score"] == (
+        di.matmuls_per_lane(14, trimmed=True)
+        / di.matmuls_per_lane(di.BM_NS_ITERS, trimmed=True))
 
     # lane planner mirrors the dispatch: the mapped default at N=400
     # computes ~2.05x lanes (RB=128 -> Npd=512, 10 tiles, one
@@ -250,15 +262,19 @@ def test_di_flops_track_scoring_code(monkeypatch):
     lanes_gathered = di.planned_lane_count(N)
     assert P <= lanes_gathered < P + 2 * 128 * (P // 65536 + 1)
     # exact-fit RB shrinks the UNROLLED (chip-rejected, A/B-only)
-    # lane count; the mapped default ignores it (prime RBs would
-    # collapse its uniform strip plan)
+    # lane count...
     monkeypatch.setenv("GDCA_DI_TILED", "unrolled")
     assert di.planned_lane_count(N) == lanes_tiled
     monkeypatch.setenv("GDCA_DI_RB", "exact")
     assert lanes_tiled > di.planned_lane_count(N) >= P
+    # ...and the MAPPED path honors it under the single-strip guard
+    # (N=400: nb=3, RB=134, 6 tiles of pad128(134^2) lanes)
     monkeypatch.delenv("GDCA_DI_TILED", raising=False)
-    assert di.planned_lane_count(N) == lanes_tiled
+    lanes_exact = di.planned_lane_count(N)
+    assert lanes_exact == 6 * 18048
+    assert P <= lanes_exact < lanes_tiled
     monkeypatch.delenv("GDCA_DI_RB", raising=False)
+    assert di.planned_lane_count(N) == lanes_tiled
     # integer RB override is honored by the mapped accounting
     monkeypatch.setenv("GDCA_DI_RB", "256")
     assert di.planned_lane_count(N) == 3 * 65536

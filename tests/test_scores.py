@@ -436,11 +436,14 @@ def test_di_mapped_matches_tiled():
     np.testing.assert_allclose(S_map, S_ref, rtol=2e-4, atol=2e-5)
 
 
-def test_di_mapped_ignores_exact_rb(monkeypatch):
-    """GDCA_DI_RB=exact must not reach the mapped planner (a prime
-    exact-fit RB would collapse the uniform strip plan to CB=1 — the
-    measured small-lane-batch pathology); an integer override is
-    honored. planned_lane_count mirrors both choices."""
+def test_di_mapped_exact_rb_guarded(monkeypatch):
+    """GDCA_DI_RB=exact reaches the mapped planner ONLY under the
+    single-strip guard (RB^2 <= lane_chunk, where prime RBs are safe —
+    no strip-divisibility constraint); past the guard a prime exact-fit
+    RB would collapse the uniform strip plan to CB=1, the measured
+    small-lane-batch pathology, so the po2 plan stays. Scores must be
+    invariant to the RB choice (per-lane math is lane-independent).
+    planned_lane_count mirrors every choice."""
     import numpy as np
     import jax.numpy as jnp
     from gaussdca_tpu.score import di
@@ -456,22 +459,33 @@ def test_di_mapped_ignores_exact_rb(monkeypatch):
     J4 = mJ.reshape(N, s, N, s)
     Lsite = di.site_cholesky(C, q)
 
+    # within the guard: exact gives RB=36 (single 36x36 tile), po2
+    # gives 128 — same scores to f32 rounding (different lane
+    # partition, same per-lane math)
     monkeypatch.setenv("GDCA_DI_RB", "exact")
-    # exact would give RB=36 here; mapped must take the po2 plan (128)
+    assert di._plan_row_block_mapped(N, 65536) == 36
     S_exact_env = np.asarray(di.di_score_bm_mapped(J4, Lsite, N))
     monkeypatch.delenv("GDCA_DI_RB", raising=False)
+    assert di._plan_row_block_mapped(N, 65536) == 128
     S_plain = np.asarray(di.di_score_bm_mapped(J4, Lsite, N))
-    np.testing.assert_array_equal(S_exact_env, S_plain)
+    np.testing.assert_allclose(S_exact_env, S_plain, rtol=1e-5,
+                               atol=1e-6)
 
-    # accounting: past the gate, the mapped branch is counted under the
-    # po2 plan even when GDCA_DI_RB=exact is set
+    # past the guard (N=2500: exact RB=313, 313^2 > 65536) the mapped
+    # planner and its accounting fall back to the po2 plan
     monkeypatch.setenv("GDCA_DI_RB", "exact")
+    assert di._plan_row_block_mapped(2500, 65536) == 512
     lanes_exact_env = di.planned_lane_count(2500, pair_chunk=65536)
     monkeypatch.delenv("GDCA_DI_RB", raising=False)
     lanes_plain = di.planned_lane_count(2500, pair_chunk=65536)
     assert lanes_exact_env == lanes_plain
     # N=2500: po2 RB=512, nb=5, 15 tiles, 4 strips of [512, 128]
     assert lanes_plain == 15 * 4 * 512 * 128
+
+    # within the guard the accounting follows the exact plan (N=400:
+    # nb=3, RB=134, 6 tiles of pad128(134^2) = 18048 lanes)
+    monkeypatch.setenv("GDCA_DI_RB", "exact")
+    assert di.planned_lane_count(400, pair_chunk=65536) == 6 * 18048
 
     # integer override: the gate passes (caller chose the lane batch),
     # so the UNROLLED tiled path is accounted at that RB
@@ -548,7 +562,10 @@ def test_bm_ns_trim_is_exact():
     LiT = Ld.swapaxes(0, 1)
     rho = di._bm_matmul(LiT, di._bm_matmul(Jd, Ld))
     G = 4.0 * di._bm_matmul(rho, rho.swapaxes(0, 1)) + eye
-    c = jnp.sum(G[idx, idx, :], axis=0)[None, None, :]
+    # same min(trace, inf-norm) initial scale as the production core
+    c = jnp.minimum(jnp.sum(G[idx, idx, :], axis=0),
+                    jnp.max(jnp.sum(jnp.abs(G), axis=1), axis=0)
+                    )[None, None, :]
     Y = G / c
     Z = jnp.broadcast_to(eye, G.shape).astype(Jd.dtype)
     for _ in range(8):
@@ -567,3 +584,60 @@ def test_bm_ns_trim_is_exact():
     want = np.asarray(0.5 * acc)
 
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-7)
+
+
+def test_bm_ns_scale_bound_dominates_spectrum():
+    """The batch-minor core's initial NS scale c = min(trace, inf-norm)
+    must bound lambda_max(G) (convergence requires scaled spectrum in
+    (0, 1]) while being no larger than the round-2 trace scale (it can
+    only tighten the convergence margin, never loosen it)."""
+    rng = np.random.default_rng(11)
+    s, P = 20, 64
+    # spread of conditioning: near-identity through strongly coupled
+    for scale in (0.01, 0.3, 3.0):
+        R = rng.standard_normal((P, s, s)).astype(np.float64) * scale
+        G = 4.0 * np.einsum("pab,pcb->pac", R, R) + np.eye(s)
+        lam_max = np.linalg.eigvalsh(G).max(axis=1)
+        tr = np.trace(G, axis1=1, axis2=2)
+        inf = np.abs(G).sum(axis=2).max(axis=1)
+        c = np.minimum(tr, inf)
+        assert (c >= lam_max - 1e-9).all()
+        assert (c <= tr + 1e-12).all()
+
+
+def test_di_ns_iters_knob(monkeypatch):
+    """GDCA_DI_NS_ITERS drives the executed iteration count: at a
+    well-conditioned scale, 8 knob-driven iterations already match the
+    reference path (convergence), and an absurd knob value (below the
+    quadratic-convergence horizon for this spectrum) visibly degrades
+    — proving the knob reaches the loop, not just the accounting."""
+    import jax.numpy as jnp
+    from gaussdca_tpu.score import di
+
+    rng = np.random.default_rng(4)
+    s, P = 20, 300
+    Jb = jnp.asarray(rng.standard_normal((P, s, s)).astype(np.float32)
+                     * 0.05)
+
+    def mkL(seed):
+        r = np.random.default_rng(seed)
+        M = r.standard_normal((P, s, s)).astype(np.float32) * 0.1
+        C = np.einsum("pab,pcb->pac", M, M) + np.eye(s, dtype=np.float32)
+        return jnp.asarray(np.linalg.cholesky(C))
+
+    Li, Lj = mkL(5), mkL(6)
+    want = np.asarray(di._di_pairs(Jb, Li, Lj, use_pallas=False))
+
+    monkeypatch.setenv("GDCA_DI_NS_ITERS", "8")
+    got8 = np.asarray(di._di_pairs_bm(Jb, Li, Lj))
+    np.testing.assert_allclose(got8, want, rtol=2e-4, atol=2e-5)
+
+    monkeypatch.setenv("GDCA_DI_NS_ITERS", "2")
+    got2 = np.asarray(di._di_pairs_bm(Jb, Li, Lj))
+    assert np.abs(got2 - want).max() > 10 * np.abs(got8 - want).max()
+
+    # junk/low values fall back to the default constant
+    monkeypatch.setenv("GDCA_DI_NS_ITERS", "1")
+    assert di.bm_ns_iters() == di.BM_NS_ITERS
+    monkeypatch.setenv("GDCA_DI_NS_ITERS", "banana")
+    assert di.bm_ns_iters() == di.BM_NS_ITERS
