@@ -117,6 +117,8 @@ def leg_di_n1000(M, N, q, reps):
     from gaussdca_tpu.api import _scores_jit
 
     tiled = os.environ.get("GDCA_DI_TILED", "1")
+    rb = os.environ.get("GDCA_DI_RB", "")
+    ns = os.environ.get("GDCA_DI_NS_ITERS", "")
     rng = np.random.default_rng(5)
     Zs = [jnp.asarray(rng.integers(1, q + 1, size=(M, N), dtype=np.int8))
           for _ in range(reps + 1)]
@@ -129,9 +131,11 @@ def leg_di_n1000(M, N, q, reps):
         return float(np.asarray(S[0, 1]))
 
     t, times = _times(run, Zs)
-    log(f"[ab] di e2e M={M} N={N} GDCA_DI_TILED={tiled}: median={t:.3f}s "
+    log(f"[ab] di e2e M={M} N={N} GDCA_DI_TILED={tiled} GDCA_DI_RB={rb} "
+        f"GDCA_DI_NS_ITERS={ns}: median={t:.3f}s "
         f"(all: {[round(x, 3) for x in times]})")
     return {"leg": "di-e2e", "M": M, "N": N, "tiled": tiled,
+            "rb": rb, "ns_iters": ns,
             "median_s": t, "times": [round(x, 4) for x in times],
             "backend": jax.default_backend()}
 

@@ -34,9 +34,18 @@ CURRENT_LEGS = frozenset({
     "warm_batch", "bench_check", "floor_pin",
 })
 
+# the round-5 follow-up battery (scripts/tpu_session_r5b.sh) — read
+# with --r5b; its exact-vs-po2 deltas compare against the MAIN
+# session's mapped baselines (--base dir)
+R5B_LEGS = frozenset({
+    "di400_exact", "di1000_exact",
+    "di200_gathered", "di200_mapped", "di200_exact",
+    "di1000_ns16", "di1000_ns14", "golden_ns14",
+})
 
-def _load(out, name):
-    if name not in CURRENT_LEGS:
+
+def _load(out, name, legs=CURRENT_LEGS):
+    if name not in legs:
         return None, None
     p = os.path.join(out, f"{name}.json")
     rcp = os.path.join(out, f"{name}.rc")
@@ -52,6 +61,69 @@ def _load(out, name):
         return rc, json.loads(lines[-1])
     except (ValueError, IndexError):
         return rc, None
+
+
+def main_r5b(out, base):
+    """Decision table for the round-5 follow-up legs (R5B_LEGS).
+
+    ``base``: the MAIN session dir holding the di{400,1000}_mapped po2
+    baselines the exact-fit legs compare against (same tree/core)."""
+    print(f"[decide/r5b] session dir: {out}  (baselines: {base})\n")
+
+    stale = sorted(
+        f[:-5] for f in os.listdir(out)
+        if f.endswith(".json") and f[:-5] not in R5B_LEGS)
+    if stale:
+        print("STALE legs on disk (not in the r5b leg set — IGNORED): "
+              f"{', '.join(stale)}\n")
+
+    def med(d):
+        return d["median_s"] if d and "median_s" in d else None
+
+    # exact-fit mapped RB vs the po2 baseline
+    print("exact-fit mapped row block (median_s; lower is better):")
+    for n in ("400", "1000"):
+        _, dm = _load(base, f"di{n}_mapped")
+        _, de = _load(out, f"di{n}_exact", R5B_LEGS)
+        if med(dm) and med(de):
+            sp = med(dm) / med(de)
+            print(f"  N={n}: po2={med(dm):.3f}s exact={med(de):.3f}s "
+                  f"({sp:.2f}x)")
+    print("  -> flip _plan_row_block_mapped's default to exact-fit "
+          "(within the single-strip guard) iff exact wins >= 3% at "
+          "N=400 AND does not lose at N=1000; recalibrate "
+          "_mapped_worthwhile with the di200 row below either way.")
+
+    row = {}
+    for v in ("gathered", "mapped", "exact"):
+        _, d = _load(out, f"di200_{v}", R5B_LEGS)
+        if med(d):
+            row[v] = med(d)
+    if row:
+        parts = ", ".join(f"{k}={v:.3f}s" for k, v in row.items())
+        print(f"\nN=200 floor shape (M=5000): {parts}")
+        print("  -> if exact <= gathered, lower _mapped_worthwhile's "
+              "threshold below 2.01 is WRONG — raise it so N=200 maps; "
+              "if gathered still wins, set the threshold between the "
+              "N=200 exact ratio (2.01) and the N=400 exact ratio "
+              "(1.36).")
+
+    # NS iteration count (vs the 20-iteration mapped baseline)
+    _, d20 = _load(base, "di1000_mapped")
+    print("\nNS iteration count at N=1000 (default 20 = "
+          f"{med(d20) if med(d20) else '?'}s):")
+    for name in ("di1000_ns16", "di1000_ns14"):
+        _, d = _load(out, name, R5B_LEGS)
+        if med(d):
+            sp = med(d20) / med(d) if med(d20) else float("nan")
+            print(f"  {name}: {med(d):.3f}s ({sp:.2f}x vs 20)")
+    rc, _ = _load(out, "golden_ns14", R5B_LEGS)
+    print(f"  golden_ns14 gate: rc={rc}")
+    print("  -> flip BM_NS_ITERS only if the winning count gains >= 5% "
+          "e2e AND golden_ns14 rc=0 (all 4 configs in envelope); "
+          "document the margin analysis (min-scaling coverage "
+          "~2.25^(iters-6) in cond(G)) in PERFORMANCE.md either way.")
+    return 0
 
 
 def main(out):
@@ -206,5 +278,14 @@ def main(out):
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1] if len(sys.argv) > 1
-                          else "/tmp/tpu_session_r3"))
+    argv = sys.argv[1:]
+    r5b = "--r5b" in argv
+    base = "/tmp/tpu_session_r5"
+    if "--base" in argv:
+        i = argv.index("--base")
+        base = argv[i + 1]
+        del argv[i:i + 2]
+    argv = [a for a in argv if a != "--r5b"]
+    out = argv[0] if argv else ("/tmp/tpu_session_r5b" if r5b
+                                else "/tmp/tpu_session_r3")
+    raise SystemExit(main_r5b(out, base) if r5b else main(out))
