@@ -166,11 +166,46 @@ def syrk_lower_blocked(Li: jax.Array, base: int,
     return X
 
 
+def syrk_lower_slab(Li: jax.Array, nslab: int = 8,
+                    prec=jax.lax.Precision.HIGH) -> jax.Array:
+    """X = Li^T @ Li for LOWER-triangular Li via disjoint column slabs.
+
+    The round-5 battery REJECTED ``syrk_lower_blocked`` on chip: its
+    growing-window accumulator (`X.at[:w, :w].add`) does not alias —
+    XLA copies the full [n, n] buffer every one of the 32 steps (~26 GB
+    extra HBM traffic, 2.23 s vs the 1.25 s dense-syrk solve) and the
+    32-shape unrolled graph blew a 1200 s compile budget. This variant
+    keeps the structural-zero saving without either failure mode: for
+    column slab J (j0 = J * sw), lower-triangularity makes
+    ``X[j0:, slab] = Li[j0:, j0:]^T @ Li[j0:, slab]`` exact (rows
+    k < i of Li are zero), so each slab is ONE matmul with a DISJOINT
+    output — no accumulator, ``nslab`` compiled shapes, and
+    sum_g (n - g*sw)^2 * sw ~ 0.4 n^3 MACs at nslab=8 (vs n^3 dense,
+    n^3/3 ideal). The block-upper triangle is filled from the
+    transpose by one ``where``. ``n`` must be a multiple of ``nslab``
+    (the doubling plan's 128-aligned npad always is)."""
+    n = Li.shape[0]
+    assert n % nslab == 0, (n, nslab)
+    sw = n // nslab
+    slabs = []
+    for g in range(nslab):
+        j0 = g * sw
+        R = jax.lax.slice(Li, (j0, j0), (n, n))           # [n-j0, n-j0]
+        B = jax.lax.slice(Li, (j0, j0), (n, j0 + sw))     # [n-j0, sw]
+        low = jnp.matmul(R.T, B, precision=prec)
+        slabs.append(jnp.pad(low, ((j0, 0), (0, 0))))
+    Xl = jnp.concatenate(slabs, axis=1)    # zero above the block diag
+    r = jnp.arange(n)
+    block_upper = (r[:, None] // sw) < (r[None, :] // sw)
+    return jnp.where(block_upper, Xl.T, Xl)
+
+
 def _syrk_impl():
     """``GDCA_SOLVE_SYRK``: ``dense`` (default, the measured round-2
-    path) | ``blocked`` (``syrk_lower_blocked``, the round-5 candidate:
-    3x fewer MACs, pending the battery's solve A/B legs before any
-    default flip — measure-then-flip)."""
+    path) | ``slab`` (``syrk_lower_slab``, the round-5 candidate) |
+    ``blocked`` (``syrk_lower_blocked`` — REJECTED on chip, round-5
+    battery: accumulator copies + compile blow-up; kept for the
+    record). Default flips only on a measured win."""
     return os.environ.get("GDCA_SOLVE_SYRK", "dense").strip().lower()
 
 
@@ -240,7 +275,10 @@ def _spd_inverse_doubling(C: jax.Array, refine_iters: int) -> jax.Array:
     # bf16-accurate start there. HIGH costs only a few ms more (the
     # combines are n^3/3 of mostly-batched matmuls).
     Li = tri_inverse_doubling(L, base, prec=jax.lax.Precision.HIGH)
-    if _syrk_impl() == "blocked":
+    impl = _syrk_impl()
+    if impl == "slab":
+        X = syrk_lower_slab(Li, prec=jax.lax.Precision.HIGH)
+    elif impl == "blocked":
         X = syrk_lower_blocked(Li, base, prec=jax.lax.Precision.HIGH)
     else:
         X = jnp.matmul(Li.T, Li, precision=jax.lax.Precision.HIGH)

@@ -423,7 +423,8 @@ def main(argv=None):
     ap.add_argument("leg", choices=["dist-square", "dist-asym", "di-n1000",
                                     "di-n400", "di-wide", "di-sharded",
                                     "warm-batch", "solve"])
-    ap.add_argument("--syrk", choices=["dense", "blocked"], default="dense",
+    ap.add_argument("--syrk", choices=["dense", "blocked", "slab"],
+                    default="dense",
                     help="solve leg: GDCA_SOLVE_SYRK variant")
     ap.add_argument("--res", choices=["highest", "high"], default="highest",
                     help="solve leg: GDCA_SOLVE_RES_PREC variant")

@@ -57,6 +57,14 @@ run di1000_ns14 1200 env GDCA_DI_NS_ITERS=14 python scripts/tpu_ab.py di-n1000
 # accuracy gate for any NS-iteration flip: all 4 golden configs in f32
 # at the CANDIDATE count (14 — if 14 passes, 16 passes a fortiori)
 run golden_ns14 2400 env GDCA_DI_NS_ITERS=14 python scripts/tpu_check.py
+# solve candidates, round 2 of measure-then-flip: the main session
+# rejected blocked syrk (accumulator copies + compile blow-up) and its
+# res leg was confounded by it — isolate the residual-precision knob
+# on the dense baseline, and price the slab syrk (disjoint-output
+# column slabs, 8 shapes, 0.4 n^3 MACs)
+run solve20k_res_dense 1200 python scripts/tpu_ab.py solve --syrk dense --res high
+run solve20k_slab      1200 python scripts/tpu_ab.py solve --syrk slab --res highest
+run solve20k_slab_res  1200 python scripts/tpu_ab.py solve --syrk slab --res high
 
 python scripts/tpu_decide.py "$OUT" --r5b > "$OUT/decision.txt" 2>&1 || true
 tail -30 "$OUT/decision.txt" | sed 's/^/  /'

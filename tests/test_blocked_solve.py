@@ -188,3 +188,35 @@ def test_solve_env_knobs(monkeypatch):
     from gaussdca_tpu.solve.cholesky import spd_inverse
     want = np.asarray(spd_inverse(C.astype(jnp.float64)))
     assert np.abs(blk - want).max() / np.abs(want).max() < 5e-5
+
+
+def test_syrk_lower_slab_matches_dense(monkeypatch):
+    """The slab syrk (round-5 candidate #2, after the chip rejected the
+    windowed-accumulator blocked form) is the same product as Li^T @ Li:
+    lower-triangularity makes X[j0:, slab] = Li[j0:, j0:]^T Li[j0:, slab]
+    exact, and the block-upper triangle is the mirrored transpose."""
+    from gaussdca_tpu.solve.cholesky import (_spd_inverse_doubling,
+                                             syrk_lower_slab)
+
+    rng = np.random.default_rng(13)
+    for n, dtype, tol in ((128, np.float64, 1e-13),
+                          (256, np.float64, 1e-13),
+                          (512, np.float32, 2e-5)):
+        L = np.tril(rng.standard_normal((n, n))).astype(dtype)
+        idx = np.arange(n)
+        L[idx, idx] = np.abs(L[idx, idx]) + 1.0
+        got = np.asarray(syrk_lower_slab(jnp.asarray(L)))
+        want = L.T @ L
+        np.testing.assert_allclose(got, want, rtol=tol,
+                                   atol=tol * np.abs(want).max())
+
+    # and through the doubling solve, against the dense-syrk default
+    rng = np.random.default_rng(14)
+    n = 2100
+    A = rng.standard_normal((n, 256)).astype(np.float32)
+    C = jnp.asarray(A @ A.T / 256 + 0.05 * n * np.eye(n, dtype=np.float32))
+    monkeypatch.delenv("GDCA_SOLVE_SYRK", raising=False)
+    base = np.asarray(_spd_inverse_doubling(C, 1))
+    monkeypatch.setenv("GDCA_SOLVE_SYRK", "slab")
+    slab = np.asarray(_spd_inverse_doubling(C, 1))
+    assert np.abs(slab - base).max() / np.abs(base).max() < 5e-6
