@@ -224,7 +224,7 @@ def leg_di_wide(N, q, reps, impl):
             "lanes": lanes, "backend": jax.default_backend()}
 
 
-def leg_di_sharded(N, q, reps, impl):
+def leg_di_sharded(N, q, reps, impl, preflight_n=0):
     """Storage-sharded DI body A/B on a 1x1 mesh: locally-TILED
     (zero gathers, parallel/sharded._di_sharded_tiled, opt-in
     GDCA_DI_SHARDED=tiled) vs the local-GATHER default. One real chip
@@ -232,42 +232,62 @@ def leg_di_sharded(N, q, reps, impl):
     only inside the shard_map body (dense dynamic_slice tiles vs
     per-lane fancy gathers); the cross-device pattern is identical.
     Synthetic q=9 for the same memory reason as di-wide.
-    """
+
+    ``preflight_n``: width of the cross-impl agreement check. The
+    round-5 main session ran BOTH impls at the full N inside each leg
+    and the local-gather body crashed the TPU backend (INTERNAL) at
+    N=2500, wedging the chip for the next leg (FAILED_PRECONDITION at
+    its first host fetch). A smaller preflight width still catches a
+    real-Mosaic miscompile of either body while keeping one impl's
+    at-scale crash from contaminating the other's leg; 0 = full N (the
+    old behavior)."""
     import jax
     import jax.numpy as jnp
     from gaussdca_tpu.parallel import mesh as meshlib
     from gaussdca_tpu.parallel.sharded import (_di_sharded_local,
                                                _di_sharded_tiled)
 
+    m = meshlib.make_mesh(1, shape=(1, 1))
     s = q - 1
-    Ns = N * s
+
     # device-side construction: the host version was a 20000^2 CPU
     # BLAS A@A^T (~5 min) plus two 1.6 GB H2D transfers — the same
     # tunnel stall class as di-wide (see _make there)
-    @jax.jit
-    def _make(key):
-        ka, km = jax.random.split(key)
-        A = (0.3 / Ns**0.5) * jax.random.normal(ka, (Ns, Ns), jnp.float32)
-        C = A @ A.T + jnp.eye(Ns, dtype=jnp.float32)
-        m = 0.05 * jax.random.normal(km, (Ns, Ns), jnp.float32)
-        return C, m + m.T
+    def make(n, key=7):
+        ns = n * s
 
-    C, mJ = _make(jax.random.PRNGKey(7))
-    float(np.asarray(C[0, 0]))
+        @jax.jit
+        def _make(key):
+            ka, km = jax.random.split(key)
+            A = (0.3 / ns**0.5) * jax.random.normal(ka, (ns, ns),
+                                                    jnp.float32)
+            C = A @ A.T + jnp.eye(ns, dtype=jnp.float32)
+            mm = 0.05 * jax.random.normal(km, (ns, ns), jnp.float32)
+            return C, mm + mm.T
 
-    m = meshlib.make_mesh(1, shape=(1, 1))
+        C, mJ = _make(jax.random.PRNGKey(key))
+        float(np.asarray(C[0, 0]))
+        return C, mJ
+
     fn_t = jax.jit(lambda a, b: _di_sharded_tiled(m, a, b, q))
     fn_l = jax.jit(lambda a, b: _di_sharded_local(m, a, b, q,
                                                   use_pallas=True))
 
     # cross-impl agreement preflight before timing anything
-    S_t = np.asarray(fn_t(mJ, C))
-    S_l = np.asarray(fn_l(mJ, C))
-    if not np.allclose(S_t, S_l, rtol=1e-4, atol=1e-5):
-        log("[ab] di-sharded tiled/gathered DISAGREE on chip — aborting")
-        raise SystemExit(9)
-    log(f"[ab] di-sharded cross-impl agreement OK (N={N}, q={q})")
+    # (preflight_n < 0 skips it outright — for at-scale solo legs whose
+    # agreement is evidenced by a smaller same-session A/B leg)
+    npf = preflight_n or N
+    if npf > 0:
+        Cp, mJp = (make(npf, key=11) if npf != N else make(N))
+        S_t = np.asarray(fn_t(mJp, Cp))
+        S_l = np.asarray(fn_l(mJp, Cp))
+        if not np.allclose(S_t, S_l, rtol=1e-4, atol=1e-5):
+            log("[ab] di-sharded tiled/gathered DISAGREE on chip — "
+                "aborting")
+            raise SystemExit(9)
+        log(f"[ab] di-sharded cross-impl agreement OK (N={npf}, q={q})")
 
+    C, mJ = make(N) if npf != N else (Cp, mJp)
     fn = fn_t if impl == "tiled" else fn_l
 
     def run(c):
@@ -278,6 +298,7 @@ def leg_di_sharded(N, q, reps, impl):
     log(f"[ab] di-sharded impl={impl} N={N} q={q}: median={t:.3f}s "
         f"(all: {[round(x, 3) for x in times]})")
     return {"leg": "di-sharded", "impl": impl, "N": N, "q": q,
+            "preflight_n": npf,
             "median_s": t, "times": [round(x, 4) for x in times],
             "backend": jax.default_backend()}
 
@@ -433,6 +454,10 @@ def main(argv=None):
     ap.add_argument("--impl", choices=["mapped", "gathered", "tiled"],
                     default="mapped", help="di-wide / di-sharded "
                     "formulation (di-sharded: tiled | gathered)")
+    ap.add_argument("--preflight-n", type=int, default=0,
+                    help="di-sharded: cross-impl agreement width "
+                    "(0 = full N; smaller keeps one impl's at-scale "
+                    "crash out of the other's leg)")
     ap.add_argument("--M", type=int, default=None)
     ap.add_argument("--N", type=int, default=None)
     ap.add_argument("--q", type=int, default=0, help="0 = per-leg "
@@ -464,7 +489,8 @@ def main(argv=None):
         out = leg_di_sharded(args.N or 2500, args.q or 9,
                              min(args.reps, 3),
                              "tiled" if args.impl == "tiled"
-                             else "gathered")
+                             else "gathered",
+                             preflight_n=args.preflight_n)
     elif args.leg == "solve":
         out = leg_solve(args.Ns, min(args.reps, 3), args.syrk, args.res)
     elif args.leg == "warm-batch":

@@ -41,6 +41,10 @@ R5B_LEGS = frozenset({
     "di400_exact", "di1000_exact",
     "di200_gathered", "di200_mapped", "di200_exact",
     "di1000_ns16", "di1000_ns14", "golden_ns14",
+    "solve20k_res_dense", "solve20k_slab", "solve20k_slab_res",
+    "di2500_mapped",
+    "di_shard1200_tiled", "di_shard1200_gathered",
+    "di_sharded_tiled", "di_sharded_gathered",
 })
 
 
@@ -123,6 +127,52 @@ def main_r5b(out, base):
           "e2e AND golden_ns14 rc=0 (all 4 configs in envelope); "
           "document the margin analysis (min-scaling coverage "
           "~2.25^(iters-6) in cond(G)) in PERFORMANCE.md either way.")
+
+    # solve knobs, round 2 (the main session rejected blocked syrk and
+    # its res leg was confounded by it)
+    _, dbase = _load(base, "solve20k_base")
+    sv = {"dense+highest (base)": med(dbase)}
+    for name, label in (("solve20k_res_dense", "dense+high"),
+                        ("solve20k_slab", "slab+highest"),
+                        ("solve20k_slab_res", "slab+high")):
+        _, d = _load(out, name, R5B_LEGS)
+        if d:
+            sv[label] = med(d)
+            sv[label + " residual"] = d.get("residual")
+    if len(sv) > 1:
+        print("\ncovariance solve Ns=20000 (median_s):")
+        for k, v in sv.items():
+            if v is not None and "residual" not in k:
+                r = sv.get(k + " residual")
+                print(f"  {k:22s} {v:.3f}s"
+                      + (f"  max|I-CX|={r:.2e}" if r else ""))
+        print("  -> flip GDCA_SOLVE_SYRK to slab iff slab+highest "
+              "beats base >= 5%; flip GDCA_SOLVE_RES_PREC to high iff "
+              "dense+high beats base >= 5% AND the main session's "
+              "golden_res_high rc=0. Both flips -> re-pin all floors.")
+
+    # storage-sharded DI bodies (post-crash rerun)
+    for n in ("1200", ""):
+        row = {}
+        for v in ("tiled", "gathered"):
+            name = f"di_shard{n}_{v}" if n else f"di_sharded_{v}"
+            _, d = _load(out, name, R5B_LEGS)
+            if d:
+                row[v] = med(d)
+            else:
+                rc2, _ = _load(out, name, R5B_LEGS)
+                row[v + "_rc"] = rc2
+        lbl = f"N={n}" if n else "N=2500 (solo, no preflight)"
+        if row:
+            print(f"\nstorage-sharded DI body {lbl}: "
+                  + ", ".join(f"{k}={v if isinstance(v, str) else v}"
+                              if not isinstance(v, float)
+                              else f"{k}={v:.3f}s"
+                              for k, v in row.items()))
+    print("  -> default flip: make tiled the storage-sharded default "
+          "if it wins the 1200 A/B OR the gathered body reproduces the "
+          "at-scale backend crash (robustness trumps a small timing "
+          "delta); record either way.")
     return 0
 
 

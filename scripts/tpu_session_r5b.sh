@@ -65,6 +65,19 @@ run golden_ns14 2400 env GDCA_DI_NS_ITERS=14 python scripts/tpu_check.py
 run solve20k_res_dense 1200 python scripts/tpu_ab.py solve --syrk dense --res high
 run solve20k_slab      1200 python scripts/tpu_ab.py solve --syrk slab --res highest
 run solve20k_slab_res  1200 python scripts/tpu_ab.py solve --syrk slab --res high
+# storage-sharded DI bodies, rerun after the main session's local-gather
+# body crashed the backend at N=2500 (INTERNAL) and wedged the next
+# leg: first both bodies at N=1200 (timing + on-chip agreement), then
+# each at-scale solo (preflight skipped — one impl's crash must not
+# contaminate the other's leg; the gathered@2500 leg EXPECTS to
+# reproduce the crash and document it)
+# main-session rerun: di2500_mapped timed out on the chip wedged by
+# the di_sharded crash (its twin di2500_gathered ran post-recovery)
+run di2500_mapped 1200 python scripts/tpu_ab.py di-wide --impl mapped
+run di_shard1200_tiled    1200 python scripts/tpu_ab.py di-sharded --impl tiled --N 1200
+run di_shard1200_gathered 1200 python scripts/tpu_ab.py di-sharded --impl gathered --N 1200
+run di_sharded_tiled      1200 python scripts/tpu_ab.py di-sharded --impl tiled --preflight-n -1
+run di_sharded_gathered   1200 python scripts/tpu_ab.py di-sharded --impl gathered --preflight-n -1
 
 python scripts/tpu_decide.py "$OUT" --r5b > "$OUT/decision.txt" 2>&1 || true
 tail -30 "$OUT/decision.txt" | sed 's/^/  /'
