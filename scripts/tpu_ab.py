@@ -140,7 +140,7 @@ def leg_di_n1000(M, N, q, reps):
             "backend": jax.default_backend()}
 
 
-def leg_di_wide(N, q, reps, impl):
+def leg_di_wide(N, q, reps, impl, preflight_n=600):
     """Wide-N DI formulation A/B: mapped (lax.map-streamed dense tiles,
     the default past the lane gate at N >= ~2049) vs gathered (chunked
     per-lane gathers — the round-3 fallback the mapped path replaced).
@@ -168,18 +168,46 @@ def leg_di_wide(N, q, reps, impl):
     # always calls these formulations under _scores_jit. Eager ops on a
     # materialized [N, s, N, s] array relayout it to the (8, 128)-tiled
     # form, a 128/s = 16x-padded 25.6 GB copy at q=9.
-    @jax.jit
-    def _make(key):
-        kj, kl = jax.random.split(key)
-        Jm = 0.05 * jax.random.normal(kj, (N * s, N * s), jnp.float32)
-        Jm = 0.5 * (Jm + Jm.T)
-        B = 0.1 * jax.random.normal(kl, (N, s, s), jnp.float32)
-        L = jnp.tril(B, k=-1) + \
-            (jnp.abs(B) + 1.0) * jnp.eye(s, dtype=jnp.float32)[None]
+    def make(n, key=7):
+        @jax.jit
+        def _make(k):
+            kj, kl = jax.random.split(k)
+            Jm = 0.05 * jax.random.normal(kj, (n * s, n * s), jnp.float32)
+            Jm = 0.5 * (Jm + Jm.T)
+            B = 0.1 * jax.random.normal(kl, (n, s, s), jnp.float32)
+            L = jnp.tril(B, k=-1) + \
+                (jnp.abs(B) + 1.0) * jnp.eye(s, dtype=jnp.float32)[None]
+            return Jm, L
+
+        Jm, L = _make(jax.random.PRNGKey(key))
+        float(np.asarray(Jm[0, 0]))  # construction complete
         return Jm, L
 
-    mJd, Ld = _make(jax.random.PRNGKey(7))
-    float(np.asarray(mJd[0, 0]))  # construction complete before timing
+    # cross-impl sanity on chip at a SMALL width FIRST: a broken mapped
+    # assembly under real Mosaic/XLA-TPU lowering must not get silently
+    # timed — but compiling BOTH formulations at the full N stalled the
+    # round-5 window's remote compiles past the 1200 s leg budget twice
+    # (the gathered graph unrolls ~P/65536 chunk bodies: ~48 copies at
+    # N=2500 — an 18+-minute remote compile, paid by BOTH legs). The
+    # small width exercises the same code paths (multi-tile grid,
+    # multi-chunk gathers at pair_chunk=65536: P(600) = 179,700 -> 3
+    # chunks) at a compile size that fits; the full-N graph is compiled
+    # only for the impl actually under test.
+    npf = preflight_n
+    mJp, Lp = make(npf, key=11)
+    iup, jup = np.triu_indices(npf, k=1)
+    S_m = np.asarray(jax.jit(
+        lambda: di.di_score_bm_mapped(
+            mJp.reshape(npf, s, npf, s), Lp, npf))())
+    d_g = np.asarray(jax.jit(
+        lambda: di.di_pairs_bm_gathered(
+            mJp.reshape(npf, s, npf, s), Lp, iup, jup))())
+    if not np.allclose(S_m[iup, jup], d_g, rtol=1e-4, atol=1e-5):
+        log("[ab] di-wide mapped/gathered DISAGREE on chip — aborting leg")
+        raise SystemExit(9)
+    log(f"[ab] di-wide cross-impl agreement OK (N={npf}, q={q})")
+
+    mJd, Ld = make(N)
     iu, ju = np.triu_indices(N, k=1)
 
     if impl == "mapped":
@@ -202,18 +230,6 @@ def leg_di_wide(N, q, reps, impl):
     def score(c):
         # distinct compute request per rep via the on-device scale
         return float(np.asarray(fn(c)[0, 1]))
-
-    # cross-impl sanity on chip: a broken mapped assembly under real
-    # Mosaic/XLA-TPU lowering must not get silently timed
-    S_m = np.asarray(jax.jit(
-        lambda: di.di_score_bm_mapped(mJd.reshape(N, s, N, s), Ld, N))())
-    d_g = np.asarray(jax.jit(
-        lambda: di.di_pairs_bm_gathered(mJd.reshape(N, s, N, s), Ld,
-                                        iu, ju))())
-    if not np.allclose(S_m[iu, ju], d_g, rtol=1e-4, atol=1e-5):
-        log("[ab] di-wide mapped/gathered DISAGREE on chip — aborting leg")
-        raise SystemExit(9)
-    log(f"[ab] di-wide cross-impl agreement OK (N={N}, q={q})")
 
     t, times = _times(score, [1.0 + 0.001 * i for i in range(reps + 1)])
     log(f"[ab] di-wide impl={impl} N={N} q={q}: median={t:.3f}s "
@@ -455,9 +471,11 @@ def main(argv=None):
                     default="mapped", help="di-wide / di-sharded "
                     "formulation (di-sharded: tiled | gathered)")
     ap.add_argument("--preflight-n", type=int, default=0,
-                    help="di-sharded: cross-impl agreement width "
-                    "(0 = full N; smaller keeps one impl's at-scale "
-                    "crash out of the other's leg)")
+                    help="di-sharded / di-wide: cross-impl agreement "
+                    "width (di-sharded: 0 = full N, -1 = skip; "
+                    "di-wide: 0 = the 600 default). Smaller keeps one "
+                    "impl's at-scale crash or mega-graph compile out "
+                    "of the other impl's leg")
     ap.add_argument("--M", type=int, default=None)
     ap.add_argument("--N", type=int, default=None)
     ap.add_argument("--q", type=int, default=0, help="0 = per-leg "
@@ -484,7 +502,8 @@ def main(argv=None):
                            min(args.reps, 3))
     elif args.leg == "di-wide":
         out = leg_di_wide(args.N or 2500, args.q or 9,
-                          min(args.reps, 3), args.impl)
+                          min(args.reps, 3), args.impl,
+                          preflight_n=args.preflight_n or 600)
     elif args.leg == "di-sharded":
         out = leg_di_sharded(args.N or 2500, args.q or 9,
                              min(args.reps, 3),

@@ -42,7 +42,7 @@ R5B_LEGS = frozenset({
     "di200_gathered", "di200_mapped", "di200_exact",
     "di1000_ns16", "di1000_ns14", "golden_ns14",
     "solve20k_res_dense", "solve20k_slab", "solve20k_slab_res",
-    "di2500_mapped",
+    "di2500_mapped", "di2500_gathered",
     "di_shard1200_tiled", "di_shard1200_gathered",
     "di_sharded_tiled", "di_sharded_gathered",
 })

@@ -71,9 +71,13 @@ run solve20k_slab_res  1200 python scripts/tpu_ab.py solve --syrk slab --res hig
 # each at-scale solo (preflight skipped — one impl's crash must not
 # contaminate the other's leg; the gathered@2500 leg EXPECTS to
 # reproduce the crash and document it)
-# main-session rerun: di2500_mapped timed out on the chip wedged by
-# the di_sharded crash (its twin di2500_gathered ran post-recovery)
-run di2500_mapped 1200 python scripts/tpu_ab.py di-wide --impl mapped
+# main-session rerun: both di2500 legs timed out — each compiled BOTH
+# formulations at full N for the cross-impl sanity, and the gathered
+# ~48-chunk graph is an 18+-minute remote compile. The restructured
+# leg checks agreement at N=600 and compiles only its own impl; the
+# gathered arm still owns the mega-graph, so it gets a 2400 s budget.
+run di2500_mapped   1800 python scripts/tpu_ab.py di-wide --impl mapped
+run di2500_gathered 2400 python scripts/tpu_ab.py di-wide --impl gathered
 run di_shard1200_tiled    1200 python scripts/tpu_ab.py di-sharded --impl tiled --N 1200
 run di_shard1200_gathered 1200 python scripts/tpu_ab.py di-sharded --impl gathered --N 1200
 run di_sharded_tiled      1200 python scripts/tpu_ab.py di-sharded --impl tiled --preflight-n -1
