@@ -67,7 +67,13 @@ def _load(out, name, legs=CURRENT_LEGS):
         return rc, None
 
 
-def main_r5b(out, base):
+# the consolidated round-5 battery (scripts/tpu_session_r5.sh): one
+# dir holds the main leg set AND the follow-up candidates — read with
+# --r5 (prints both tables, stale-checks against the union)
+R5_LEGS = CURRENT_LEGS | R5B_LEGS
+
+
+def main_r5b(out, base, stale_against=R5B_LEGS):
     """Decision table for the round-5 follow-up legs (R5B_LEGS).
 
     ``base``: the MAIN session dir holding the di{400,1000}_mapped po2
@@ -76,7 +82,7 @@ def main_r5b(out, base):
 
     stale = sorted(
         f[:-5] for f in os.listdir(out)
-        if f.endswith(".json") and f[:-5] not in R5B_LEGS)
+        if f.endswith(".json") and f[:-5] not in stale_against)
     if stale:
         print("STALE legs on disk (not in the r5b leg set — IGNORED): "
               f"{', '.join(stale)}\n")
@@ -176,12 +182,12 @@ def main_r5b(out, base):
     return 0
 
 
-def main(out):
+def main(out, stale_against=CURRENT_LEGS):
     print(f"[decide] session dir: {out}\n")
 
     stale = sorted(
         f[:-5] for f in os.listdir(out)
-        if f.endswith(".json") and f[:-5] not in CURRENT_LEGS)
+        if f.endswith(".json") and f[:-5] not in stale_against)
     if stale:
         print("STALE legs on disk (not in the current tpu_session.sh "
               f"leg set — IGNORED): {', '.join(stale)}\n")
@@ -330,12 +336,21 @@ def main(out):
 if __name__ == "__main__":
     argv = sys.argv[1:]
     r5b = "--r5b" in argv
+    r5 = "--r5" in argv
     base = "/tmp/tpu_session_r5"
     if "--base" in argv:
         i = argv.index("--base")
         base = argv[i + 1]
         del argv[i:i + 2]
-    argv = [a for a in argv if a != "--r5b"]
+    argv = [a for a in argv if a not in ("--r5b", "--r5")]
     out = argv[0] if argv else ("/tmp/tpu_session_r5b" if r5b
+                                else "/tmp/tpu_session_r5" if r5
                                 else "/tmp/tpu_session_r3")
+    if r5:
+        # consolidated round-5 session: both tables over one dir (the
+        # follow-up candidates compare against baselines in the SAME
+        # dir), stale-checked against the union leg set
+        main(out, stale_against=R5_LEGS)
+        print("\n" + "=" * 70 + "\n")
+        raise SystemExit(main_r5b(out, out, stale_against=R5_LEGS))
     raise SystemExit(main_r5b(out, base) if r5b else main(out))
