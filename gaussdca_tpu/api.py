@@ -334,10 +334,16 @@ def _bucket_pad(tokens: np.ndarray, cfg: GDCAConfig):
 
 
 # trace-time kernel-dispatch env knobs: an AOT executable compiled under
-# one setting must not serve a call made under another (same list the
-# CLI folds into its artifact cache key)
+# one setting must not serve a call made under another. This is THE
+# canonical list — the CLI imports it into its artifact cache key, and
+# tests/test_cli.py scans the package source for GDCA_* env reads to
+# fail the build if a result-affecting knob is added without extending
+# it (the round-4/5 drift class: a new knob silently missing from both
+# keys).
 _TRACE_ENV_KNOBS = ("GDCA_DISTANCE_IMPL", "GDCA_DI_FUSED",
-                    "GDCA_DI_TILED", "GDCA_DI_RB", "GDCA_DI_SHARDED")
+                    "GDCA_DI_TILED", "GDCA_DI_RB", "GDCA_DI_SHARDED",
+                    "GDCA_DI_NS_ITERS", "GDCA_SOLVE_SYRK",
+                    "GDCA_SOLVE_RES_PREC")
 
 
 def _scores_class_key(z_sds, q: int, cfg: GDCAConfig, dtype,

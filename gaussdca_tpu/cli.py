@@ -157,15 +157,19 @@ def _cache_key(path: str, cfg: GDCAConfig, top_k: Optional[int],
     # f.p. summation order, so the %e-formatted text can differ — and the
     # same goes for every knob that selects a kernel path (fallback,
     # precision, and the GDCA_* kernel-dispatch env overrides).
+    from gaussdca_tpu.api import _TRACE_ENV_KNOBS
+
     key = (cfg.pseudocount, cfg.theta, cfg.max_gap_fraction, cfg.score,
            cfg.min_separation, cfg.remove_dups, cfg.resolve_dtype().name,
            cfg.m_bucket, cfg.n_bucket, top_k,
            cfg.resolve_fallback(), cfg.precision,
-           os.environ.get("GDCA_DISTANCE_IMPL", ""),
-           os.environ.get("GDCA_DI_FUSED", ""),
-           os.environ.get("GDCA_DI_TILED", ""),
-           os.environ.get("GDCA_DI_RB", ""),
-           os.environ.get("GDCA_DI_SHARDED", ""),
+           # the ONE canonical trace-time knob list (api.py) — a knob
+           # listed there must never be missing here, or the artifact
+           # cache serves results computed under a different kernel
+           # path / iteration count / precision (round-5 review finding:
+           # GDCA_DI_NS_ITERS, GDCA_SOLVE_{SYRK,RES_PREC} were missing
+           # from both keys when added)
+           tuple(os.environ.get(k, "") for k in _TRACE_ENV_KNOBS),
            mesh_desc)
     h.update(repr(key).encode())
     return h.hexdigest()
@@ -327,7 +331,8 @@ def run_family(path: str, cfg: GDCAConfig, out_dir: str,
     bm = (not cfg.resolve_fallback() and _on_tpu()
           and cfg.resolve_dtype().name == "float32")
     fl = pipeline_flops(Mp, Np, result.q, score=cfg.score,
-                        auto_theta=cfg.auto_theta, bm=bm)
+                        auto_theta=cfg.auto_theta, bm=bm,
+                        sharded=mesh is not None)
     pipe_s = log.timings.get("pipeline", 0.0)
     log.set(M=result.M, N=result.N, q=result.q,
             dropped_gaps=result.n_dropped_gaps,

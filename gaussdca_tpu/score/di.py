@@ -747,8 +747,49 @@ def di_score_bm_tiled(J4: jax.Array, Lsite: jax.Array, N: int, *,
     return _finish_upper_blocks(S, RB, N)
 
 
+def accounting_plan(N: int, *, pair_chunk: int = 65536,
+                    requested_bm: bool = True,
+                    sharded: bool = False) -> tuple:
+    """(lanes, iters, trimmed) of the DI formulation the dispatch will
+    actually EXECUTE — the one accounting mirror utils/flops.py
+    consumes. ``requested_bm`` is the caller's coarse gate (TPU + f32 +
+    kernels on); the ``P >= _BM_MIN_PAIRS`` and ``GDCA_DI_FUSED`` legs
+    of the real gate live HERE so the accounting cannot drift from
+    ``di_score`` (round-5 review finding: mesh, fused, and small-N
+    runs were billed under the mapped dense-tile trimmed plan they
+    never execute).
+
+    - fused (``GDCA_DI_FUSED``, opt-in): the legacy Pallas NS kernel
+      through the gemm scaffold — ``di_pairs_flat`` chunk padding,
+      ~bm-count iterations (18 in-kernel + 2 refine), untrimmed;
+    - sharded (mesh runs): every storage-sharded body feeds exact-P
+      lane slabs to the core (the tiled body's strip overhead is
+      ndev-dependent and NOT counted — a slight undercount);
+    - small P (< ``_BM_MIN_PAIRS``) or non-bm: the gemm scaffold at
+      ``FALLBACK_NS_ITERS`` fixed untrimmed iterations.
+    """
+    import os
+
+    P = N * (N - 1) // 2
+    fused = os.environ.get("GDCA_DI_FUSED", "").lower() in ("1", "true",
+                                                            "yes")
+    bm = requested_bm and P >= _BM_MIN_PAIRS
+    if bm and fused:
+        return (planned_lane_count(N, pair_chunk=pair_chunk, bm=False),
+                bm_ns_iters(), False)
+    if bm and sharded:
+        return (planned_lane_count(N, pair_chunk=pair_chunk, bm=True,
+                                   mode="0"),
+                bm_ns_iters(), True)
+    if bm:
+        return (planned_lane_count(N, pair_chunk=pair_chunk, bm=True),
+                bm_ns_iters(), True)
+    return (planned_lane_count(N, pair_chunk=pair_chunk, bm=False),
+            FALLBACK_NS_ITERS, False)
+
+
 def planned_lane_count(N: int, *, pair_chunk: int = 65536,
-                       bm: bool = True) -> int:
+                       bm: bool = True, mode: str = None) -> int:
     """Lanes the production DI path will actually COMPUTE at width N.
 
     The flop-accounting twin of ``di_score``'s dispatch (utils/flops.py
@@ -769,7 +810,10 @@ def planned_lane_count(N: int, *, pair_chunk: int = 65536,
       zero-padding is counted like the gathered path's.
 
     Honors the same env knobs as the dispatch (GDCA_DI_TILED,
-    GDCA_DI_RB) at CALL time, so accounting follows any A/B override.
+    GDCA_DI_RB) at CALL time, so accounting follows any A/B override;
+    ``mode`` overrides the GDCA_DI_TILED read (``accounting_plan``
+    passes "0" to count a sharded body's gathered-style lanes without
+    touching the environment).
     """
     import os
 
@@ -777,7 +821,8 @@ def planned_lane_count(N: int, *, pair_chunk: int = 65536,
         return -(-x // 128) * 128
 
     P = N * (N - 1) // 2
-    mode = os.environ.get("GDCA_DI_TILED", "1").lower()
+    if mode is None:
+        mode = os.environ.get("GDCA_DI_TILED", "1").lower()
     dense = (bm and P >= _BM_MIN_PAIRS
              and mode not in ("0", "false", "no"))
     if dense:

@@ -39,8 +39,15 @@ def _residual_precision():
     what the battery's ``golden_res_high`` leg gates before any flip.
     """
     v = os.environ.get("GDCA_SOLVE_RES_PREC", "highest").strip().lower()
-    return {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH}[v]
+    try:
+        return {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH}[v]
+    except KeyError:
+        # loud, named failure: a typo'd A/B leg must not silently
+        # measure the default (nor crash with a bare KeyError deep in
+        # newton_refine)
+        raise ValueError(
+            f"GDCA_SOLVE_RES_PREC={v!r}: must be 'highest' or 'high'")
 
 
 def newton_refine(C: jax.Array, X: jax.Array, iters: int,
@@ -205,8 +212,13 @@ def _syrk_impl():
     path) | ``slab`` (``syrk_lower_slab``, the round-5 candidate) |
     ``blocked`` (``syrk_lower_blocked`` — REJECTED on chip, round-5
     battery: accumulator copies + compile blow-up; kept for the
-    record). Default flips only on a measured win."""
-    return os.environ.get("GDCA_SOLVE_SYRK", "dense").strip().lower()
+    record). Default flips only on a measured win. Unknown values
+    raise (a typo'd A/B leg must not silently measure dense)."""
+    v = os.environ.get("GDCA_SOLVE_SYRK", "dense").strip().lower()
+    if v not in ("dense", "slab", "blocked"):
+        raise ValueError(
+            f"GDCA_SOLVE_SYRK={v!r}: must be dense | slab | blocked")
+    return v
 
 
 def chunked_cho_inverse(L: jax.Array, rhs_chunk: int) -> jax.Array:

@@ -20,7 +20,8 @@ from typing import Dict
 def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
                    auto_theta: bool = True,
                    solve_refine_iters: int = 1,
-                   bm: bool = True) -> Dict[str, float]:
+                   bm: bool = True,
+                   sharded: bool = False) -> Dict[str, float]:
     """Estimated FLOPs per stage for one family.
 
     Reweighting counts the one-hot-matmul formulation (2*M^2*N*q) for
@@ -51,22 +52,21 @@ def pipeline_flops(M: int, N: int, q: int, *, score: str = "frob",
         "solve": (1.0 + 4.0 * solve_refine_iters) * Ns ** 3,
     }
     if score == "DI":
-        from gaussdca_tpu.score.di import (FALLBACK_NS_ITERS,
-                                           bm_ns_iters,
-                                           matmuls_per_lane,
-                                           planned_lane_count)
-        # ``bm``: whether the dispatch actually takes the batch-minor/
-        # dense-tile path (TPU + f32 + kernels on). f64 golden and
-        # forced-fallback runs execute the gemm scaffold instead —
-        # exact chunk-padded lanes, FALLBACK_NS_ITERS fixed iterations
-        # (the f64 monitored loop exits earlier; its count is an upper
-        # bound) — accounting them under the tiled plan inflated
-        # TFLOP/s ~2.5x (round-4 review finding).
-        lanes = planned_lane_count(N, bm=bm)
-        # bm_ns_iters() follows the live GDCA_DI_NS_ITERS knob at call
-        # time, like planned_lane_count follows GDCA_DI_TILED/_RB
-        iters = bm_ns_iters() if bm else FALLBACK_NS_ITERS
-        out["score"] = lanes * matmuls_per_lane(iters, trimmed=bm) \
+        from gaussdca_tpu.score.di import accounting_plan, matmuls_per_lane
+
+        # ``bm``: the caller's coarse gate — TPU + f32 + kernels on
+        # (f64 golden / forced-fallback runs execute the gemm scaffold:
+        # exact chunk-padded lanes, FALLBACK_NS_ITERS fixed iterations;
+        # the f64 monitored loop exits earlier, so its count is an
+        # upper bound). ``sharded``: mesh runs execute the
+        # storage-sharded bodies (exact-P lane slabs), not the mapped
+        # dense-tile plan. The P-threshold and GDCA_DI_FUSED legs of
+        # the real gate live in di.accounting_plan, next to the
+        # dispatch they mirror — accounting drifted from the executed
+        # graph three rounds running when any constant lived here.
+        lanes, iters, trimmed = accounting_plan(N, requested_bm=bm,
+                                                sharded=sharded)
+        out["score"] = lanes * matmuls_per_lane(iters, trimmed=trimmed) \
             * 2.0 * s ** 3
     else:
         P = N * (N - 1) / 2

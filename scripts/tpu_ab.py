@@ -433,7 +433,12 @@ def leg_warm_batch(M, N, q, per_class):
         if warm:
             cmd.append("--warm-compile")
         t0 = time.perf_counter()
-        r = subprocess.run(cmd, capture_output=True, text=True)
+        # cwd-pin the child to the repo root: the module-top sys.path
+        # fix covers the in-process legs only, and a child launched
+        # from elsewhere would fail the package import (review finding)
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           cwd=os.path.join(os.path.dirname(
+                               os.path.abspath(__file__)), ".."))
         dt = time.perf_counter() - t0
         if r.returncode != 0:
             log(f"[ab] warm-batch arm failed:\n{r.stderr[-2000:]}")

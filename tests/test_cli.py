@@ -217,13 +217,13 @@ def test_di_flops_track_scoring_code(monkeypatch):
     from gaussdca_tpu.score import di
     from gaussdca_tpu.utils import flops
 
-    # flops.py holds NO private DI constants — it imports from di
+    # flops.py holds NO private DI constants — it imports the ONE
+    # dispatch mirror (di.accounting_plan: lanes, iters, trimmed) and
+    # the per-lane matmul count from di.py (the NS-loop trim would
+    # otherwise drift the accounting the same way iters did)
     src = inspect.getsource(flops)
     assert "DI_SQRTM_ITERS" not in src
-    assert "bm_ns_iters" in src and "planned_lane_count" in src
-    # the per-lane matmul count is owned by di.py too (the NS-loop trim
-    # would otherwise drift the accounting the same way iters did)
-    assert "matmuls_per_lane" in src
+    assert "accounting_plan" in src and "matmuls_per_lane" in src
     assert di.matmuls_per_lane(di.BM_NS_ITERS, trimmed=True) \
         == 3 + (3 * di.BM_NS_ITERS - 3) + 1
     assert di.matmuls_per_lane(di.FALLBACK_NS_ITERS, trimmed=False) \
@@ -291,6 +291,70 @@ def test_di_flops_track_scoring_code(monkeypatch):
     per_lane = di.matmuls_per_lane(di.BM_NS_ITERS, trimmed=True) \
         * 2.0 * 20 ** 3
     assert fl_gath["score"] == lanes_gathered * per_lane
+    monkeypatch.delenv("GDCA_DI_TILED", raising=False)
+
+    # accounting_plan mirrors the REAL bm gate, not the caller's coarse
+    # flag (round-5 review finding: mesh / fused / small-N runs were
+    # billed under the mapped dense-tile trimmed plan they never run):
+    # small P (< _BM_MIN_PAIRS: N=100 -> P=4950) executes the gemm
+    # scaffold — exact lanes, FALLBACK iters, untrimmed
+    lanes, iters, trimmed = di.accounting_plan(100, requested_bm=True)
+    assert (lanes, iters, trimmed) == (4950, di.FALLBACK_NS_ITERS, False)
+    # mesh runs execute the storage-sharded bodies: gathered-style
+    # exact-P slabs even though the single-chip default is mapped
+    lanes_sh, iters_sh, trimmed_sh = di.accounting_plan(
+        N, requested_bm=True, sharded=True)
+    assert lanes_sh == lanes_gathered and trimmed_sh
+    assert iters_sh == di.BM_NS_ITERS
+    # GDCA_DI_FUSED routes through the gemm scaffold (di_pairs_flat
+    # chunk padding, ~bm-count iterations, untrimmed)
+    monkeypatch.setenv("GDCA_DI_FUSED", "1")
+    lanes_f, iters_f, trimmed_f = di.accounting_plan(N, requested_bm=True)
+    assert lanes_f == di.planned_lane_count(N, bm=False)
+    assert iters_f == di.BM_NS_ITERS and not trimmed_f
+    monkeypatch.delenv("GDCA_DI_FUSED", raising=False)
+    # and pipeline_flops(sharded=True) bills the sharded plan
+    fl_sh = flops.pipeline_flops(100, N, 21, score="DI", sharded=True)
+    assert fl_sh["score"] / fl_gath["score"] == 1.0
+
+
+def test_trace_env_knobs_cover_every_result_knob():
+    """Every result-affecting GDCA_* env knob in the package must be in
+    api._TRACE_ENV_KNOBS — the ONE list both the AOT executable-cache
+    class key and the CLI artifact-cache key fold in. Round-5 review
+    finding: GDCA_DI_NS_ITERS / GDCA_SOLVE_{SYRK,RES_PREC} were added
+    with neither key extended, so caches served results computed under
+    a different iteration count / precision. This scan fails the build
+    the next time a knob is added without extending the list."""
+    import os
+    import re
+
+    import gaussdca_tpu
+    from gaussdca_tpu.api import _TRACE_ENV_KNOBS
+
+    # knobs that deliberately do NOT affect results: FORCE_FALLBACK is
+    # folded into both keys via cfg.resolve_fallback(); NO_NATIVE picks
+    # the parser (token-matrix parity is differential-fuzzed); POD_NPROC
+    # configures the test-only pod spawner
+    non_result = {"GDCA_FORCE_FALLBACK", "GDCA_NO_NATIVE",
+                  "GDCA_POD_NPROC"}
+    pkg = os.path.dirname(gaussdca_tpu.__file__)
+    found = set()
+    for root, _, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                with open(os.path.join(root, f)) as fh:
+                    found |= set(re.findall(r"environ(?:\.get)?[(\[]\s*"
+                                            r"['\"](GDCA_[A-Z_0-9]+)",
+                                            fh.read()))
+    assert found, "scan found no knobs — regex rotted?"
+    uncovered = found - set(_TRACE_ENV_KNOBS) - non_result
+    assert not uncovered, (
+        f"result-affecting env knob(s) {sorted(uncovered)} are read by "
+        "the package but missing from api._TRACE_ENV_KNOBS — AOT and "
+        "artifact caches will serve stale results across settings. Add "
+        "them to the list (or to this test's non_result set with a "
+        "written rationale).")
 
 
 def test_output_stem_collisions(tmp_path):
