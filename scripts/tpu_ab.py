@@ -140,6 +140,22 @@ def leg_di_n1000(M, N, q, reps):
             "backend": jax.default_backend()}
 
 
+def _hi(f):
+    """Trace the wrapped callable under HIGHEST matmul precision — the
+    production context (api.scores_pipeline). The direct-formulation
+    legs (di-wide, di-sharded) MUST run under it too: bare on TPU the
+    matmuls lower to single-pass bf16, the two formulations' different
+    contraction orders diverge far past the agreement tolerance (the
+    round-5 di_shard1200 preflight DISAGREE was exactly this), and the
+    timing measures a precision production never runs."""
+    import jax
+
+    def g(*a):
+        with jax.default_matmul_precision("highest"):
+            return f(*a)
+    return g
+
+
 def leg_di_wide(N, q, reps, impl, preflight_n=600):
     """Wide-N DI formulation A/B: mapped (lax.map-streamed dense tiles,
     the default past the lane gate at N >= ~2049) vs gathered (chunked
@@ -196,12 +212,12 @@ def leg_di_wide(N, q, reps, impl, preflight_n=600):
     npf = preflight_n
     mJp, Lp = make(npf, key=11)
     iup, jup = np.triu_indices(npf, k=1)
-    S_m = np.asarray(jax.jit(
+    S_m = np.asarray(jax.jit(_hi(
         lambda: di.di_score_bm_mapped(
-            mJp.reshape(npf, s, npf, s), Lp, npf))())
-    d_g = np.asarray(jax.jit(
+            mJp.reshape(npf, s, npf, s), Lp, npf)))())
+    d_g = np.asarray(jax.jit(_hi(
         lambda: di.di_pairs_bm_gathered(
-            mJp.reshape(npf, s, npf, s), Lp, iup, jup))())
+            mJp.reshape(npf, s, npf, s), Lp, iup, jup)))())
     if not np.allclose(S_m[iup, jup], d_g, rtol=1e-4, atol=1e-5):
         log("[ab] di-wide mapped/gathered DISAGREE on chip — aborting leg")
         raise SystemExit(9)
@@ -225,7 +241,7 @@ def leg_di_wide(N, q, reps, impl, preflight_n=600):
             S = jnp.zeros((N, N), dv.dtype)
             S = S.at[iu, ju].set(dv)
             return S.at[ju, iu].set(dv)
-    fn = jax.jit(_f)
+    fn = jax.jit(_hi(_f))
 
     def score(c):
         # distinct compute request per rep via the on-device scale
@@ -285,9 +301,9 @@ def leg_di_sharded(N, q, reps, impl, preflight_n=0):
         float(np.asarray(C[0, 0]))
         return C, mJ
 
-    fn_t = jax.jit(lambda a, b: _di_sharded_tiled(m, a, b, q))
-    fn_l = jax.jit(lambda a, b: _di_sharded_local(m, a, b, q,
-                                                  use_pallas=True))
+    fn_t = jax.jit(_hi(lambda a, b: _di_sharded_tiled(m, a, b, q)))
+    fn_l = jax.jit(_hi(lambda a, b: _di_sharded_local(m, a, b, q,
+                                                      use_pallas=True)))
 
     # cross-impl agreement preflight before timing anything
     # (preflight_n < 0 skips it outright — for at-scale solo legs whose
