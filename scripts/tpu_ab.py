@@ -156,6 +156,21 @@ def _hi(f):
     return g
 
 
+def _diff_stats(a, b):
+    """One-line magnitude report for a failed cross-impl agreement
+    check: is it a rounding-envelope miss (max rel ~1e-4..1e-3) or a
+    real miscompile (O(1) values disagreeing)?"""
+    import numpy as np
+    d = np.abs(a - b)
+    am = np.abs(b)
+    rel = d[am > 1e-5] / am[am > 1e-5]
+    return (f"max|d|={d.max():.3e} at |ref|~{am.flat[d.argmax()]:.3e}, "
+            f"max rel={rel.max() if rel.size else float('nan'):.3e}, "
+            f"ref scale max={am.max():.3e}, "
+            f"n_viol={int((~np.isclose(a, b, rtol=1e-4, atol=1e-5)).sum())}"
+            f"/{a.size}")
+
+
 def leg_di_wide(N, q, reps, impl, preflight_n=600):
     """Wide-N DI formulation A/B: mapped (lax.map-streamed dense tiles,
     the default past the lane gate at N >= ~2049) vs gathered (chunked
@@ -220,6 +235,7 @@ def leg_di_wide(N, q, reps, impl, preflight_n=600):
             mJp.reshape(npf, s, npf, s), Lp, iup, jup)))())
     if not np.allclose(S_m[iup, jup], d_g, rtol=1e-4, atol=1e-5):
         log("[ab] di-wide mapped/gathered DISAGREE on chip — aborting leg")
+        log(f"[ab]   {_diff_stats(S_m[iup, jup], d_g)}")
         raise SystemExit(9)
     log(f"[ab] di-wide cross-impl agreement OK (N={npf}, q={q})")
 
@@ -316,6 +332,7 @@ def leg_di_sharded(N, q, reps, impl, preflight_n=0):
         if not np.allclose(S_t, S_l, rtol=1e-4, atol=1e-5):
             log("[ab] di-sharded tiled/gathered DISAGREE on chip — "
                 "aborting")
+            log(f"[ab]   {_diff_stats(S_t, S_l)}")
             raise SystemExit(9)
         log(f"[ab] di-sharded cross-impl agreement OK (N={npf}, q={q})")
 
