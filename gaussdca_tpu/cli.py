@@ -157,7 +157,10 @@ def _cache_key(path: str, cfg: GDCAConfig, top_k: Optional[int],
     # f.p. summation order, so the %e-formatted text can differ — and the
     # same goes for every knob that selects a kernel path (fallback,
     # precision, and the GDCA_* kernel-dispatch env overrides).
+    from gaussdca_tpu import __version__
     from gaussdca_tpu.api import _TRACE_ENV_KNOBS
+    from gaussdca_tpu.score.di import bm_ns_iters
+    from gaussdca_tpu.solve.cholesky import _residual_precision, _syrk_impl
 
     key = (cfg.pseudocount, cfg.theta, cfg.max_gap_fraction, cfg.score,
            cfg.min_separation, cfg.remove_dups, cfg.resolve_dtype().name,
@@ -170,6 +173,12 @@ def _cache_key(path: str, cfg: GDCAConfig, top_k: Optional[int],
            # GDCA_DI_NS_ITERS, GDCA_SOLVE_{SYRK,RES_PREC} were missing
            # from both keys when added)
            tuple(os.environ.get(k, "") for k in _TRACE_ENV_KNOBS),
+           # RESOLVED defaults + version: a code-default flip (e.g.
+           # BM_NS_ITERS or the residual precision changing between
+           # releases) must invalidate on-disk artifacts even when the
+           # env knobs above are all unset
+           __version__, bm_ns_iters(), str(_residual_precision()),
+           _syrk_impl(),
            mesh_desc)
     h.update(repr(key).encode())
     return h.hexdigest()

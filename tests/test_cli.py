@@ -379,6 +379,24 @@ def test_cache_key_uses_resolved_dtype(tmp_path):
     assert k32 != k64
 
 
+def test_cache_key_tracks_resolved_defaults(tmp_path, monkeypatch):
+    """A code-default flip (no env override set) must invalidate
+    on-disk artifacts: the key folds in the RESOLVED knob values
+    (bm_ns_iters / residual precision / syrk impl), not just the raw
+    env strings — which are '' both before and after a release that
+    changes a default."""
+    from gaussdca_tpu import score
+    from gaussdca_tpu.cli import _cache_key
+    from gaussdca_tpu.core.config import GDCAConfig
+    p = tmp_path / "x.fasta"
+    p.write_text(">a\nACDEF\n")
+    k_before = _cache_key(str(p), GDCAConfig(), None)
+    monkeypatch.setattr(score.di, "BM_NS_ITERS",
+                        score.di.BM_NS_ITERS + 1)
+    k_after = _cache_key(str(p), GDCAConfig(), None)
+    assert k_before != k_after
+
+
 def test_merge_output(tmp_path, golden_dir):
     import os
     from gaussdca_tpu.cli import main
