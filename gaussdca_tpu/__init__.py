@@ -12,7 +12,7 @@ from gaussdca_tpu.api import GDCAConfig, GDCAResult, gdca, gdca_from_msa, printr
 # /root/reference/src/GaussDCA.jl:3).
 gDCA = gdca
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "gdca",

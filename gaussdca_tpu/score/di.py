@@ -189,8 +189,15 @@ def _bm_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
 # core. utils/flops.py derives the per-family TFLOP accounting from
 # ``bm_ns_iters()`` below — change it HERE only (round-3 verdict: a
 # drifted copy in flops.py made every DI TFLOP/s log systematically
-# wrong).
-BM_NS_ITERS = 20
+# wrong). Round-5 chip battery: 14 iterations measured 2.021 s vs
+# 2.200 s at N=1000 e2e (+8.1%; 16 iters +5.5%) with golden parity
+# re-gated under 14 (chip_sessions/tpu_session_r5). Margin: with the
+# min(trace, inf-norm) initial scaling the count covers cond(G) up to
+# ~2.25^(iters-6) ~= 660 at 14 (vs 8e4 at the old 20); G = I + 4
+# rho rho^T >= I bounds cond(G) = lambda_max(G), and golden-scale MSA
+# data converges by ~8 iterations — 14 keeps ~6 quadratic-phase
+# iterations of headroom. GDCA_DI_NS_ITERS=20 restores the old count.
+BM_NS_ITERS = 14
 
 
 def bm_ns_iters() -> int:
@@ -199,10 +206,11 @@ def bm_ns_iters() -> int:
     ``GDCA_DI_NS_ITERS`` (integer >= 2) overrides ``BM_NS_ITERS`` for
     A/B measurement — the NS loop is ~65% of the DI-stage HBM traffic
     (3 [s, s, P] matmuls per iteration), so the iteration count is the
-    stage's main lever. The default 20 with the min(trace, inf-norm)
-    initial scaling guarantees convergence for cond(G) up to ~2.25^14
-    ~ 8e4 when the scale bound is tight (worst case /sqrt(s) when the
-    inf-norm overshoots); golden-scale data converges at ~8. Like the
+    stage's main lever. The default 14 (round-5 chip flip — see
+    BM_NS_ITERS above) with the min(trace, inf-norm) initial scaling
+    guarantees convergence for cond(G) up to ~2.25^8 ~ 660 when the
+    scale bound is tight (worst case /sqrt(s) when the inf-norm
+    overshoots); golden-scale data converges at ~8. Like the
     other kernel knobs this is read at TRACE time: set it before the
     first DI call of a shape class, and the flop accounting
     (utils/flops.py) follows it at call time."""

@@ -160,16 +160,16 @@ def test_solve_env_knobs(monkeypatch):
     """GDCA_SOLVE_SYRK / GDCA_SOLVE_RES_PREC are trace-time A/B knobs:
     the blocked-syrk doubling path must agree with the dense-syrk
     default to the Newton floor, and the residual-precision map must
-    default to HIGHEST (the measured round-2 accuracy requirement —
-    flips only on battery data)."""
+    default to HIGH (the round-5 chip flip: 1.26x on the Ns=20000
+    solve, residual 2.7e-5 re-gated by the bare golden battery leg)."""
     from gaussdca_tpu.solve.cholesky import (_residual_precision,
                                              _spd_inverse_doubling,
                                              _syrk_impl)
 
     monkeypatch.delenv("GDCA_SOLVE_RES_PREC", raising=False)
-    assert _residual_precision() == jax.lax.Precision.HIGHEST
-    monkeypatch.setenv("GDCA_SOLVE_RES_PREC", "high")
     assert _residual_precision() == jax.lax.Precision.HIGH
+    monkeypatch.setenv("GDCA_SOLVE_RES_PREC", "highest")
+    assert _residual_precision() == jax.lax.Precision.HIGHEST
     monkeypatch.delenv("GDCA_SOLVE_SYRK", raising=False)
     assert _syrk_impl() == "dense"
 
