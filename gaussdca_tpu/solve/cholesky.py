@@ -30,18 +30,20 @@ from jax.scipy.linalg import cho_solve, solve_triangular
 def _residual_precision():
     """Precision of the Newton RESIDUAL matmul (trace-time env knob).
 
-    ``high`` is the round-5 measured default: the residual matmul
-    R = I - C X is 2n^3 flops at the 6-pass HIGHEST ceiling (~28 TF/s
-    on v5e) — ~45% of the whole Ns=20000 solve wall — while 3-pass
-    HIGH runs ~2x faster. Chip battery (Ns=20000, dense syrk): 0.996 s
-    vs 1.251 s at HIGHEST = 1.26x, residual floor 1.3e-6 -> 2.7e-5 —
-    still two decades inside the f32 golden envelope (the bare
-    ``golden`` battery leg re-gated all four configs under this
-    default, chip_sessions/tpu_session_r5). ``GDCA_SOLVE_RES_PREC=
-    highest`` restores the round-2 behavior where the tighter inverse
-    matters more than the 26% solve wall.
+    ``high`` was the round-5 speed candidate — 0.996 s vs 1.251 s at
+    Ns=20000 (1.26x; the residual matmul is 2n^3 flops at the 6-pass
+    HIGHEST ceiling, ~45% of that solve wall) — and it is REJECTED as
+    the default on the same session's golden gate: the residual floor
+    degrades 1.3e-6 -> 2.7e-5, and on the real chip that broke ALL
+    FOUR golden configs (frob 8.9e-4 vs tol 5e-4 at Ns=1060 — frob
+    never touches the DI core, so the solve alone did it — and
+    large-DI 8.4e-3 vs tol 1e-3 with a top-100 rank flip;
+    chip_sessions/tpu_session_r5/golden.json). Rank identity is the
+    product requirement, so the 26% solve win is not available as a
+    default; ``GDCA_SOLVE_RES_PREC=high`` stays as an opt-in for
+    throughput-over-accuracy scans.
     """
-    v = os.environ.get("GDCA_SOLVE_RES_PREC", "high").strip().lower()
+    v = os.environ.get("GDCA_SOLVE_RES_PREC", "highest").strip().lower()
     try:
         return {"highest": jax.lax.Precision.HIGHEST,
                 "high": jax.lax.Precision.HIGH}[v]
@@ -63,8 +65,8 @@ def newton_refine(C: jax.Array, X: jax.Array, iters: int,
 
     ``corr_precision``: precision of the CORRECTION matmul X @ R only.
     The residual matmul R = I - C X sets the achievable floor and runs
-    HIGH by default since round 5 (``GDCA_SOLVE_RES_PREC`` overrides —
-    see ``_residual_precision``); the correction is small (~||R||), so its
+    HIGHEST by default (``GDCA_SOLVE_RES_PREC`` overrides — see
+    ``_residual_precision``); the correction is small (~||R||), so its
     own rounding contributes ~eps_bf16 * ||R|| — negligible. Measured
     on-chip at Ns=8000: corr at DEFAULT gives the same 2e-6 residual as
     HIGHEST at half the refinement cost (PERFORMANCE.md, solve section).

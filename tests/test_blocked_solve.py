@@ -160,16 +160,17 @@ def test_solve_env_knobs(monkeypatch):
     """GDCA_SOLVE_SYRK / GDCA_SOLVE_RES_PREC are trace-time A/B knobs:
     the blocked-syrk doubling path must agree with the dense-syrk
     default to the Newton floor, and the residual-precision map must
-    default to HIGH (the round-5 chip flip: 1.26x on the Ns=20000
-    solve, residual 2.7e-5 re-gated by the bare golden battery leg)."""
+    default to HIGHEST (round-5 chip gate: the `high` candidate was
+    1.26x on the Ns=20000 solve but its 2.7e-5 residual floor broke
+    all four golden configs on chip, frob included — rejected)."""
     from gaussdca_tpu.solve.cholesky import (_residual_precision,
                                              _spd_inverse_doubling,
                                              _syrk_impl)
 
     monkeypatch.delenv("GDCA_SOLVE_RES_PREC", raising=False)
-    assert _residual_precision() == jax.lax.Precision.HIGH
-    monkeypatch.setenv("GDCA_SOLVE_RES_PREC", "highest")
     assert _residual_precision() == jax.lax.Precision.HIGHEST
+    monkeypatch.setenv("GDCA_SOLVE_RES_PREC", "high")
+    assert _residual_precision() == jax.lax.Precision.HIGH
     monkeypatch.delenv("GDCA_SOLVE_SYRK", raising=False)
     assert _syrk_impl() == "dense"
 
